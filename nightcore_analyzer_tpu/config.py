@@ -1,0 +1,208 @@
+"""Static configuration for the TPU-native nightcore analyzer.
+
+Every tunable of the reference implementation is mirrored here with the same
+default value (citations point into ``/root/reference/``):
+
+* sample rate / window / hop / gate / silence-strip — ``io.py:19-23``
+* tempo estimator constants — ``tempo.py:22-24,116-117``
+* pitch (chroma) constants — ``pitch.py:42-50``
+* consensus / bootstrap constants — ``consensus.py:52-62``
+* xcorr verify + auto-align constants — ``xcorr.py:33-51``
+
+Unlike the reference (module-level constants shadowed by CLI flags), the TPU
+build needs *static shapes*: everything under ``jit`` is traced once, so the
+config is a frozen (hashable) dataclass that doubles as the static argument of
+the compiled analysis program.  Derived sizes (number of window slots, frame
+counts, chunk counts…) are exposed as cached properties.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+__all__ = ["AnalyzerConfig", "DEFAULT_CONFIG", "bucket_for_duration"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalyzerConfig:
+    # ── signal I/O (reference io.py:19-23) ───────────────────────────────────
+    sample_rate: int = 22050
+    window_sec: float = 10.0
+    hop_sec: float = 5.0
+    energy_gate_db: float = -40.0
+    silence_strip_db: float = 60.0          # top_db for trim; gated by strip_silence flag
+    strip_silence: bool = True
+
+    # ── static shape bucket ──────────────────────────────────────────────────
+    # All device buffers are padded to max_duration_sec; actual lengths ride
+    # along as scalars and everything downstream is masked.
+    max_duration_sec: float = 300.0
+
+    # ── tempo estimator (reference tempo.py:22-24) ───────────────────────────
+    tempo_hop: int = 512
+    tempo_n_fft: int = 2048
+    n_mels: int = 128
+    min_beats: int = 4
+    agreement_tolerance: float = 0.08
+    # librosa feature.tempo defaults (the actual windowed estimator — the
+    # reference's two "independent" estimators are both feature.tempo, see
+    # tempo.py:45-68 where beat_track's returned tempo IS feature.tempo's)
+    ac_size: float = 8.0
+    std_bpm: float = 1.0
+    max_tempo: float = 320.0
+    tightness: float = 100.0
+    # Frame stride when aggregating the local-ACF tempogram.  1 == librosa
+    # semantics (mean over every onset frame).  The global hop-64 pass uses
+    # ibi_tempo_stride to bound compute; the aggregate is a mean so striding
+    # is statistically transparent.
+    tempo_frame_stride: int = 1
+
+    # ── high-precision IBI pass (reference tempo.py:116-117) ────────────────
+    ibi_hop: int = 64
+    ibi_min_ibis: int = 4
+    ibi_glitch_sec: float = 0.05
+    ibi_tempo_stride: int = 16
+    max_beats: int = 2048                   # fixed-capacity global beat buffer
+    max_beats_window: int = 64              # per-10s-window beat buffer
+    # DP beat tracker BPM clamp (keeps the search window statically bounded)
+    dp_bpm_min: float = 50.0
+    dp_bpm_max: float = 400.0
+
+    # ── pitch estimator (reference pitch.py:42-50) ───────────────────────────
+    chroma_bins_per_octave: int = 36
+    chroma_hop: int = 512
+    chunk_sec: float = 20.0
+    min_chunks: int = 3
+    ref_hz: float = 440.0
+    chroma_n_octaves: int = 7               # C1..B7, librosa chroma_cqt default
+    chroma_fmin: float = 32.70319566257483  # C1
+    chroma_n_fft: int = 4096                # per-stream FFT size (dual stream)
+    chroma_low_octaves: int = 3             # octaves served by the 4x-decimated stream
+
+    # ── consensus (reference consensus.py:52-62) ─────────────────────────────
+    n_bootstrap: int = 2000
+    ci_level: float = 0.95
+    pure_nc_tolerance: float = 0.02
+    min_valid: int = 3
+    nightcore_ratio_min: float = 1.05
+    nightcore_ratio_max: float = 1.50
+    near_unity_tolerance: float = 0.05
+    wide_ci_relative: float = 2.0
+    duration_tempo_mismatch_tolerance: float = 0.08
+
+    # ── xcorr verify (reference xcorr.py:33-42) ──────────────────────────────
+    xcorr_n_windows: int = 20
+    xcorr_window_sec: float = 3.0
+    xcorr_search_range: float = 0.05
+    xcorr_skip_edges: float = 0.10
+    xcorr_rms_gate: float = 1e-3
+    xcorr_quality_good: float = 0.70
+    xcorr_quality_fair: float = 0.40
+
+    # ── auto-align (reference xcorr.py:44-51) ────────────────────────────────
+    align_sr: int = 11025
+    align_hop: int = 512
+    align_speed_lo: float = 1.03
+    align_speed_hi: float = 1.50
+    align_n_speeds: int = 30
+    align_max_offset: float = 120.0
+    align_min_offset: float = 1.0
+
+    # ── memory chunking knobs (device-program internal; no semantic effect) ──
+    window_chunk: int = 4                   # analysis windows processed per scan step
+    frame_chunk: int = 512                  # STFT frames per scan step (hop-64 pass)
+    tg_frame_chunk: int = 64                # tempogram columns per scan step
+    chroma_frame_chunk: int = 128           # chroma frames per scan step
+
+    # ── derived sizes ────────────────────────────────────────────────────────
+    @cached_property
+    def max_samples(self) -> int:
+        return int(round(self.max_duration_sec * self.sample_rate))
+
+    @cached_property
+    def win_samples(self) -> int:
+        return int(self.window_sec * self.sample_rate)
+
+    @cached_property
+    def hop_samples(self) -> int:
+        return int(self.hop_sec * self.sample_rate)
+
+    @cached_property
+    def n_window_slots(self) -> int:
+        if self.max_samples < self.win_samples:
+            return 1
+        return (self.max_samples - self.win_samples) // self.hop_samples + 1
+
+    @cached_property
+    def onset_frames_per_window(self) -> int:
+        # centered STFT: 1 + N // hop frames  (librosa convention)
+        return 1 + self.win_samples // self.tempo_hop
+
+    @cached_property
+    def tempogram_win_length(self) -> int:
+        # librosa feature.tempo: win_length = ac_size * sr // hop_length
+        return int(self.ac_size * self.sample_rate // self.tempo_hop)
+
+    @cached_property
+    def ibi_tempogram_win_length(self) -> int:
+        return int(self.ac_size * self.sample_rate // self.ibi_hop)
+
+    @cached_property
+    def global_onset_frames(self) -> int:
+        return 1 + self.max_samples // self.ibi_hop
+
+    @cached_property
+    def chunk_samples(self) -> int:
+        return int(self.chunk_sec * self.sample_rate)
+
+    @cached_property
+    def max_chunks(self) -> int:
+        return max(1, self.max_samples // self.chunk_samples)
+
+    @cached_property
+    def chroma_frames_per_chunk(self) -> int:
+        return 1 + self.chunk_samples // self.chroma_hop
+
+    @cached_property
+    def n_chroma_bins(self) -> int:
+        return self.chroma_bins_per_octave * self.chroma_n_octaves
+
+    @cached_property
+    def dp_search_window(self) -> int:
+        """Static width of the DP beat-tracker search window at tempo_hop."""
+        p_max = 60.0 * self.sample_rate / (self.tempo_hop * self.dp_bpm_min)
+        return int(math.ceil(2.0 * p_max)) + 1
+
+    @cached_property
+    def dp_search_window_ibi(self) -> int:
+        p_max = 60.0 * self.sample_rate / (self.ibi_hop * self.dp_bpm_min)
+        return int(math.ceil(2.0 * p_max)) + 1
+
+    @cached_property
+    def align_env_frames(self) -> int:
+        # envelope at align_sr / align_hop over the decimated max-length signal
+        return 1 + (self.max_samples // 2) // self.align_hop
+
+    @cached_property
+    def xcorr_win_samples(self) -> int:
+        return int(self.xcorr_window_sec * self.sample_rate)
+
+    def replace(self, **kw) -> "AnalyzerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = AnalyzerConfig()
+
+#: Duration buckets (seconds).  A pair is analyzed in the smallest bucket that
+#: fits both files; each bucket is a separate XLA compilation (cached).
+DURATION_BUCKETS = (30.0, 60.0, 120.0, 180.0, 240.0, 300.0, 420.0, 600.0)
+
+
+def bucket_for_duration(duration_sec: float, buckets=DURATION_BUCKETS) -> float:
+    """Smallest bucket that holds ``duration_sec`` (last bucket if none do)."""
+    for b in buckets:
+        if duration_sec <= b:
+            return b
+    return buckets[-1]

@@ -1,0 +1,175 @@
+"""Dynamic-programming beat tracker (Ellis 2007) as a ``lax.scan``.
+
+TPU-native rebuild of ``librosa.beat.beat_track`` — the one genuinely
+sequential op in the pipeline (SURVEY §7 "hard parts" #1).  Used per-window
+for the beat-count gate (reference ``tempo.py:45-50``) and full-signal at
+hop 64 for the high-precision IBI estimator (``tempo.py:120-173``).
+
+Mapping to fixed shapes:
+* the tempo-dependent search window ``[-2*period, -period/2]`` lives inside a
+  static window of ``W`` frames with dynamic masks (bpm clamped to
+  ``[dp_bpm_min, dp_bpm_max]`` so the true window always fits);
+* the cumulative-score array is the scan carry, front-padded with ``W``
+  ``-inf`` slots so the window slice never clamps;
+* beats land in a fixed-capacity buffer with a count (SURVEY §7 #2).
+
+Batched use: the scan index is shared across vmapped batch/window lanes, so
+each step is one contiguous (lanes, W) slice + argmax — sequential in frames,
+wide across the corpus, which is where the TPU throughput comes from.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filters
+from .stats import masked_median, masked_std
+
+__all__ = ["BeatTrackResult", "beat_track", "beats_to_ibis"]
+
+
+class BeatTrackResult(NamedTuple):
+    beats: jnp.ndarray      # (max_beats,) ascending frame indices, -1 padded
+    n_beats: jnp.ndarray    # () int32 — count after librosa-style trimming
+    period: jnp.ndarray     # () float — DP beat period in frames
+
+
+def _local_score(envn: jnp.ndarray, period: jnp.ndarray, half_width: int) -> jnp.ndarray:
+    """Gaussian-smoothed onset envelope (librosa ``__beat_local_score``)."""
+    t = jnp.arange(-half_width, half_width + 1).astype(jnp.float32)
+    win = jnp.exp(-0.5 * (t * 32.0 / period) ** 2)
+    return jnp.convolve(envn, win, mode="same")
+
+
+def _dp(localscore: jnp.ndarray, period: jnp.ndarray, tightness: float, W: int):
+    """Forward DP; returns (cumscore, backlink)."""
+    F = localscore.shape[0]
+    d = jnp.arange(1, W + 1).astype(jnp.float32)       # candidate distance
+    dmask = (d >= jnp.round(period / 2.0)) & (d <= 2.0 * period)
+    txwt = jnp.where(dmask, -tightness * jnp.log(d / period) ** 2, -jnp.inf)
+    txwt_rev = txwt[::-1]                              # slice index k ↔ d = W-k
+    weak_thresh = 0.01 * jnp.max(localscore)
+
+    def step(carry, i):
+        cum_pad, first = carry
+        win = jax.lax.dynamic_slice(cum_pad, (i,), (W,))   # cum[i-W .. i-1]
+        cand = win + txwt_rev
+        best = jnp.max(cand)
+        k = jnp.argmax(cand)
+        has = jnp.isfinite(best)
+        score_i = localscore[i]
+        cum_i = score_i + jnp.where(has, best, 0.0)
+        weak = score_i < weak_thresh
+        bl_i = jnp.where(has & ~(first & weak), i - W + k, -1)
+        first = first & (~has | weak)
+        cum_pad = jax.lax.dynamic_update_slice(cum_pad, cum_i[None], (i + W,))
+        return (cum_pad, first), (cum_i, bl_i.astype(jnp.int32))
+
+    init = (jnp.full(F + W, -jnp.inf), jnp.asarray(True))
+    (_, _), (cum, backlink) = jax.lax.scan(step, init, jnp.arange(F))
+    return cum, backlink
+
+
+def _select_tail(cum: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """Last local max of cumscore above half the median peak (librosa)."""
+    F = cum.shape[0]
+    prev = jnp.concatenate([jnp.array([jnp.inf]), cum[:-1]])
+    nxt = jnp.concatenate([cum[1:], jnp.array([-jnp.inf])])
+    lmax = (cum > prev) & (cum >= nxt)
+    valid = jnp.arange(F) < n_valid
+    maxes = lmax & valid
+    med = masked_median(cum, maxes)
+    cand = maxes & (cum >= 0.5 * med)
+    return jnp.max(jnp.where(cand, jnp.arange(F), -1))
+
+
+def _backtrace(backlink: jnp.ndarray, tail: jnp.ndarray, max_beats: int):
+    def step(carry, _):
+        pos, k, buf = carry
+        active = pos >= 0
+        buf = jnp.where(
+            active,
+            jax.lax.dynamic_update_slice(buf, pos[None], (k,)),
+            buf,
+        )
+        k = k + active.astype(jnp.int32)
+        pos = jnp.where(active, jnp.take(backlink, jnp.maximum(pos, 0)), -1)
+        return (pos, k, buf), None
+
+    init = (tail, jnp.asarray(0, jnp.int32), jnp.full(max_beats, -1, jnp.int32))
+    (pos, n, buf), _ = jax.lax.scan(step, init, None, length=max_beats)
+    # buf is descending; reverse the first n entries
+    idx = n - 1 - jnp.arange(max_beats)
+    beats = jnp.where(jnp.arange(max_beats) < n,
+                      jnp.take(buf, jnp.clip(idx, 0, max_beats - 1)), -1)
+    return beats, n
+
+
+def _trim(localscore: jnp.ndarray, beats: jnp.ndarray, n: jnp.ndarray):
+    """librosa ``__trim_beats``: hann(5)-smoothed beat strength, keep
+    ``beats[valid.min() : valid.max()]`` (the final-beat drop is a faithful
+    mirror of the reference's behavior via librosa)."""
+    max_beats = beats.shape[0]
+    mask = beats >= 0
+    ls = jnp.where(mask, jnp.take(localscore, jnp.maximum(beats, 0)), 0.0)
+    w5 = jnp.asarray(filters.hann_sym(5))
+    smooth = jnp.convolve(ls, w5, mode="same")
+    mean_sq = jnp.sum(jnp.where(mask, smooth ** 2, 0.0)) / jnp.maximum(n, 1)
+    thr = 0.5 * jnp.sqrt(mean_sq)
+    good = (smooth > thr) & mask
+    idxs = jnp.arange(max_beats)
+    first = jnp.min(jnp.where(good, idxs, max_beats))
+    last = jnp.max(jnp.where(good, idxs, -1))
+    keep = (idxs >= first) & (idxs < last) & mask
+    # compact kept beats to the front, preserving order
+    order = jnp.argsort(~keep, stable=True)
+    beats_c = jnp.where(jnp.arange(max_beats) < jnp.sum(keep),
+                        jnp.take(beats, order), -1)
+    return beats_c, jnp.sum(keep).astype(jnp.int32)
+
+
+def beat_track(env: jnp.ndarray, n_valid_frames: jnp.ndarray, bpm: jnp.ndarray, *,
+               sr: float, hop_length: int, tightness: float = 100.0,
+               search_window: int = 128, max_beats: int = 256,
+               bpm_min: float = 50.0, bpm_max: float = 400.0,
+               trim: bool = True) -> BeatTrackResult:
+    """Track beats on one onset envelope.  All inputs may be traced.
+
+    ``search_window`` must be ≥ ``2 * period(bpm_min)`` (see
+    ``AnalyzerConfig.dp_search_window``).
+    """
+    F = env.shape[-1]
+    valid = jnp.arange(F) < n_valid_frames
+    envz = jnp.where(valid, env, 0.0)
+    sd = masked_std(envz, valid, ddof=1)
+    envn = jnp.where(valid, envz / jnp.maximum(sd, 1e-10), 0.0)
+
+    bpm_c = jnp.clip(bpm, bpm_min, bpm_max)
+    period = jnp.round(60.0 * sr / (hop_length * bpm_c))
+
+    half = (search_window - 1) // 2
+    localscore = _local_score(envn, period, half)
+    localscore = jnp.where(valid, localscore, 0.0)
+
+    cum, backlink = _dp(localscore, period, tightness, search_window)
+    tail = _select_tail(cum, n_valid_frames)
+    beats, n = _backtrace(backlink, tail, max_beats)
+    if trim:
+        beats, n = _trim(localscore, beats, n)
+    return BeatTrackResult(beats=beats, n_beats=n, period=period)
+
+
+def beats_to_ibis(beats: jnp.ndarray, n_beats: jnp.ndarray, *,
+                  sr: float, hop_length: int, glitch_sec: float = 0.05):
+    """Inter-beat intervals in seconds with the sub-50 ms glitch filter
+    (reference ``tempo.py:168-171``).  Returns (ibis, mask)."""
+    max_beats = beats.shape[0]
+    t = beats.astype(jnp.float32) * (hop_length / sr)
+    ib = t[1:] - t[:-1]
+    pair_ok = (jnp.arange(max_beats - 1) + 1) < n_beats
+    mask = pair_ok & (ib > glitch_sec)
+    return jnp.where(mask, ib, 0.0), mask

@@ -1,0 +1,146 @@
+"""Onset-strength envelopes (STFT → mel → dB → positive spectral flux).
+
+TPU-native rebuild of the reference's hottest numeric path
+(``librosa.onset.onset_strength``, used per-window at hop 512 in
+``tempo.py:44`` and full-signal at hop 64 in ``tempo.py:158`` — SURVEY §3.5
+measures the hop-64 pass as the dominant cost of the whole pipeline).
+
+Design:
+* the per-window path materializes all window spectrograms in chunks of
+  ``cfg.window_chunk`` slots (memory-bounded, MXU-batched mel matmul);
+* the global hop-64 path streams STFT frames through ``lax.scan`` in chunks
+  of ``cfg.frame_chunk`` frames — the full hop-64 STFT of a 5-minute track
+  would be ~0.9 GB and never fits; only the (frames, n_mels) mel power
+  spectrogram (~50 MB) is kept, on which the dB clamp + flux run fused.
+* dB clamping (top_db=80) is relative to the spectrogram max, matching
+  librosa ``power_to_db`` — per *window* for the windowed path, per *signal*
+  for the global path, exactly as the reference's call structure implies.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AnalyzerConfig
+from . import filters
+from .spectrum import frame_indices, power_to_db
+
+__all__ = ["onset_pad_width", "mel_power_windows", "mel_power_global",
+           "onset_envelope_from_mel", "onset_frames_valid"]
+
+
+@lru_cache(maxsize=8)
+def _mel_basis(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    return filters.mel_filterbank(sr, n_fft, n_mels).T.copy()  # (1+n_fft//2, n_mels)
+
+
+def onset_pad_width(n_fft: int, hop: int) -> int:
+    """librosa onset_strength lag/centering compensation (frames)."""
+    return 1 + n_fft // (2 * hop)
+
+
+def _stft_mel_power(seg_frames: jnp.ndarray, window: jnp.ndarray,
+                    mel_T: jnp.ndarray) -> jnp.ndarray:
+    """frames (..., n, n_fft) -> mel power (..., n, n_mels)."""
+    spec = jnp.fft.rfft(seg_frames * window, axis=-1)
+    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.matmul(mag2, mel_T, preferred_element_type=jnp.float32)
+
+
+def mel_power_windows(y: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
+    """Mel power spectrogram of every analysis-window slot.
+
+    ``y``: (max_samples,) padded signal (window slot *i* starts at
+    ``i * hop_samples``, reference ``io.py:93-99``).
+    Returns (n_window_slots, onset_frames_per_window, n_mels).
+    """
+    n_fft, hop = cfg.tempo_n_fft, cfg.tempo_hop
+    n_slots, win_n = cfg.n_window_slots, cfg.win_samples
+    f_per_win = cfg.onset_frames_per_window
+    window = jnp.asarray(filters.hann(n_fft))
+    mel_T = jnp.asarray(_mel_basis(cfg.sample_rate, n_fft, cfg.n_mels))
+
+    pad = n_fft // 2
+    ypad = jnp.pad(y, (pad, pad + win_n))   # tail slack for the last slot
+    # frame t of slot s covers ypad[s*hop_samples + t*hop : ... + n_fft]
+    local_idx = jnp.asarray(frame_indices(f_per_win, n_fft, hop))
+
+    chunk = max(1, cfg.window_chunk)
+    n_chunks = -(-n_slots // chunk)
+
+    def body(_, c):
+        slot0 = c * chunk
+        starts = (slot0 + jnp.arange(chunk)) * cfg.hop_samples
+        idx = starts[:, None, None] + local_idx[None]          # (chunk, f, n_fft)
+        frames = jnp.take(ypad, idx, axis=0, mode="clip")
+        return None, _stft_mel_power(frames, window, mel_T)
+
+    _, mels = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    mels = mels.reshape(n_chunks * chunk, f_per_win, cfg.n_mels)
+    return mels[:n_slots]
+
+
+def mel_power_global(y: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
+    """Mel power spectrogram of the full signal at ``cfg.ibi_hop``.
+
+    Streams frames through lax.scan in chunks of ``cfg.frame_chunk``; returns
+    (global_onset_frames_padded, n_mels) with the tail rows garbage (callers
+    mask by :func:`onset_frames_valid`).
+    """
+    n_fft, hop = cfg.tempo_n_fft, cfg.ibi_hop
+    n_frames = cfg.global_onset_frames
+    window = jnp.asarray(filters.hann(n_fft))
+    mel_T = jnp.asarray(_mel_basis(cfg.sample_rate, n_fft, cfg.n_mels))
+
+    chunk = cfg.frame_chunk
+    n_chunks = -(-n_frames // chunk)
+    seg_len = (chunk - 1) * hop + n_fft
+    pad = n_fft // 2
+    ypad = jnp.pad(y, (pad, pad + seg_len))
+    local_idx = jnp.asarray(frame_indices(chunk, n_fft, hop))
+
+    def body(_, c):
+        start = c * (chunk * hop)
+        seg = jax.lax.dynamic_slice(ypad, (start,), (seg_len,))
+        frames = jnp.take(seg, local_idx, axis=0)
+        return None, _stft_mel_power(frames, window, mel_T)
+
+    _, mels = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    return mels.reshape(n_chunks * chunk, cfg.n_mels)[:n_frames]
+
+
+def onset_envelope_from_mel(mel_power: jnp.ndarray, n_valid_frames: jnp.ndarray,
+                            n_fft: int, hop: int) -> jnp.ndarray:
+    """Positive first-order flux of the dB mel spectrogram.
+
+    ``mel_power``: (..., frames, n_mels); ``n_valid_frames`` masks the padded
+    tail out of both the dB max and the returned envelope.  Matches
+    ``librosa.onset.onset_strength`` (power_to_db(top_db=80) → lagged diff →
+    clip(0) → mean over mels → zero-pad by ``onset_pad_width`` at the start).
+    """
+    frames = mel_power.shape[-2]
+    fidx = jnp.arange(frames)
+    valid = fidx < n_valid_frames                       # (..., frames) broadcast
+    while valid.ndim < mel_power.ndim - 1:
+        valid = valid[None]
+    mp = jnp.where(valid[..., None], mel_power, 0.0)
+
+    log_spec = 10.0 * jnp.log10(jnp.maximum(mp, 1e-10))
+    peak = jnp.max(jnp.where(valid[..., None], log_spec, -jnp.inf),
+                   axis=(-2, -1), keepdims=True)
+    db = jnp.maximum(log_spec, peak - 80.0)
+
+    flux = jnp.maximum(0.0, db[..., 1:, :] - db[..., :-1, :]).mean(axis=-1)
+    pad = onset_pad_width(n_fft, hop)
+    env = jnp.concatenate(
+        [jnp.zeros(flux.shape[:-1] + (pad,), flux.dtype), flux], axis=-1)[..., :frames]
+    return jnp.where(valid, env, 0.0)
+
+
+def onset_frames_valid(n_samples: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Number of centered-STFT frames for a signal of ``n_samples``."""
+    return 1 + n_samples // hop

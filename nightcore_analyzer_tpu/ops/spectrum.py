@@ -1,0 +1,82 @@
+"""Core spectral ops: framing, STFT, dB conversion, chunked mapping.
+
+Everything here is shape-static and jit/vmap friendly.  The central
+memory-management tool is :func:`chunked_map` — TPU HBM cannot hold a fully
+materialized hop-64 STFT of a multi-minute track (the reference's hottest path,
+``tempo.py:158``), so frame-parallel work is streamed through ``lax.scan`` in
+fixed-size chunks while keeping each chunk wide enough to saturate the VPU/MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "frame_indices",
+    "frame_signal",
+    "stft_mag_sq",
+    "power_to_db",
+    "amplitude_to_db",
+    "chunked_map",
+]
+
+
+def frame_indices(n_frames: int, frame_length: int, hop: int) -> np.ndarray:
+    """(n_frames, frame_length) gather index matrix (static)."""
+    return (np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :])
+
+
+def frame_signal(y: jnp.ndarray, n_frames: int, frame_length: int, hop: int,
+                 offset=0) -> jnp.ndarray:
+    """Gather overlapping frames from the last axis of ``y``.
+
+    ``offset`` may be a traced scalar (frames start at ``offset + i*hop``).
+    Out-of-range indices are clamped by jnp.take's default mode; callers pad
+    ``y`` so that all in-mask frames are fully in range.
+    """
+    idx = jnp.asarray(frame_indices(n_frames, frame_length, hop))
+    idx = idx + offset
+    return jnp.take(y, idx, axis=-1)
+
+
+def stft_mag_sq(frames: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """|rfft(frame * window)|^2 over the last axis."""
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
+def power_to_db(S: jnp.ndarray, ref: float = 1.0, amin: float = 1e-10,
+                top_db: float | None = 80.0) -> jnp.ndarray:
+    """librosa ``power_to_db`` semantics: 10*log10(max(S,amin)/ref), clamped
+    to ``max - top_db`` when ``top_db`` is given (clamp over the whole array)."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(S, amin))
+    log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(jnp.asarray(ref), amin))
+    if top_db is not None:
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+    return log_spec
+
+
+def amplitude_to_db(S: jnp.ndarray, ref: float = 1.0, amin: float = 1e-5,
+                    top_db: float | None = 80.0) -> jnp.ndarray:
+    return power_to_db(S ** 2, ref=float(ref) ** 2, amin=amin ** 2, top_db=top_db)
+
+
+def chunked_map(fn, n: int, chunk: int):
+    """Evaluate ``fn(start_index, size=chunk)`` for chunk starts covering
+    ``range(0, n_padded, chunk)`` via ``lax.scan`` and concatenate results
+    along a new leading axis of size ``n_chunks*chunk`` (callers mask the
+    tail).  ``fn`` must return arrays whose leading axis is ``chunk``.
+
+    Returns stacked outputs with leading axis ``n_chunks * chunk``.
+    """
+    n_chunks = -(-n // chunk)
+
+    def body(carry, start):
+        out = fn(start)
+        return carry, out
+
+    _, outs = jax.lax.scan(body, None, jnp.arange(n_chunks) * chunk)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:]), outs)

@@ -1,0 +1,116 @@
+"""Masked order statistics and the vectorized bootstrap.
+
+The reference's list-of-``Optional[float]`` idiom (``consensus.py:236-240``)
+becomes (values, mask) pairs with fixed shapes; its serial 2000-iteration
+bootstrap loops (``consensus.py:258-262,303-307``; ``pitch.py:144-148``)
+become one gather + one batched sort on device.
+
+Bootstrap semantics: each resample draws ``n_valid`` items uniformly with
+replacement from the valid entries and takes their median; the ratio of the
+two medians is recorded and the CI is read off percentiles of the 2000
+ratios.  Determinism-per-run is preserved with fixed jax.random keys
+(seed 42 for tempo/IBI — ``consensus.py:252,295`` — and seed 0 for pitch —
+``pitch.py:143``); bit-parity with numpy's Generator is a non-goal, CI widths
+and the 0.01% ratio parity bar are the contract (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "masked_median",
+    "masked_mean",
+    "masked_std",
+    "masked_max",
+    "percentile",
+    "bootstrap_medians",
+    "bootstrap_ratio_ci",
+]
+
+
+def _sorted_masked(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sort(jnp.where(mask, vals, jnp.inf), axis=-1)
+
+
+def masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """np.median over the masked-in entries of the last axis (nan if none)."""
+    s = _sorted_masked(vals, mask)
+    n = jnp.sum(mask, axis=-1)
+    lo_idx = jnp.maximum(n - 1, 0) // 2
+    hi_idx = jnp.maximum(n - 1, 0) - lo_idx  # == n//2 when n>0
+    lo = jnp.take_along_axis(s, lo_idx[..., None], axis=-1)[..., 0]
+    hi = jnp.take_along_axis(s, hi_idx[..., None], axis=-1)[..., 0]
+    med = 0.5 * (lo + hi)
+    return jnp.where(n > 0, med, jnp.nan)
+
+
+def masked_mean(vals, mask):
+    n = jnp.sum(mask, axis=-1)
+    s = jnp.sum(jnp.where(mask, vals, 0.0), axis=-1)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), jnp.nan)
+
+
+def masked_std(vals, mask, ddof: int = 1):
+    n = jnp.sum(mask, axis=-1)
+    mu = masked_mean(vals, mask)
+    var = jnp.sum(jnp.where(mask, (vals - mu[..., None]) ** 2, 0.0), axis=-1)
+    denom = jnp.maximum(n - ddof, 1)
+    return jnp.where(n > ddof, jnp.sqrt(var / denom), jnp.nan)
+
+
+def masked_max(vals, mask, fill=-jnp.inf):
+    return jnp.max(jnp.where(mask, vals, fill), axis=-1)
+
+
+def percentile(sorted_vals: jnp.ndarray, q: float) -> jnp.ndarray:
+    """np.percentile (linear interpolation) over a pre-sorted last axis."""
+    n = sorted_vals.shape[-1]
+    pos = q / 100.0 * (n - 1)
+    lo = int(jnp.floor(pos)) if isinstance(pos, float) else None
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    frac = pos - lo
+    vlo = jnp.take(sorted_vals, lo, axis=-1)
+    vhi = jnp.take(sorted_vals, hi, axis=-1)
+    return vlo + frac * (vhi - vlo)
+
+
+def bootstrap_medians(key: jax.Array, vals: jnp.ndarray, mask: jnp.ndarray,
+                      n_boot: int) -> jnp.ndarray:
+    """(n_boot,) medians of with-replacement resamples of the valid entries.
+
+    Each resample has size ``n_valid`` (matching numpy ``rng.choice(v, size=len(v))``
+    in ``consensus.py:259-260``), realized with fixed shapes by drawing
+    ``n_max`` indices and masking out columns ``>= n_valid``.
+    """
+    n_max = vals.shape[-1]
+    n_valid = jnp.sum(mask, axis=-1)
+    # compact valid entries to the front (stable argsort of ~mask)
+    order = jnp.argsort(~mask, axis=-1, stable=True)
+    compact = jnp.take_along_axis(vals, order, axis=-1)
+    u = jax.random.uniform(key, (n_boot, n_max))
+    idx = jnp.minimum((u * n_valid).astype(jnp.int32), jnp.maximum(n_valid - 1, 0))
+    draws = compact[idx]                                  # (n_boot, n_max)
+    col_mask = jnp.arange(n_max)[None, :] < n_valid
+    return masked_median(draws, col_mask)
+
+
+def bootstrap_ratio_ci(key: jax.Array,
+                       num_vals, num_mask, den_vals, den_mask,
+                       n_boot: int, ci: float = 0.95):
+    """Point estimate + bootstrap CI of ``median(num)/median(den)``.
+
+    Mirrors ``consensus._bootstrap_ratio`` (``consensus.py:243-267``): the two
+    sides are resampled independently.  Returns ``(point, lo, hi)``.
+    """
+    k1, k2 = jax.random.split(key)
+    point = masked_median(num_vals, num_mask) / masked_median(den_vals, den_mask)
+    boots = bootstrap_medians(k1, num_vals, num_mask, n_boot) / \
+        bootstrap_medians(k2, den_vals, den_mask, n_boot)
+    s = jnp.sort(boots)
+    alpha = (1.0 - ci) / 2.0
+    lo = percentile(s, alpha * 100.0)
+    hi = percentile(s, (1.0 - alpha) * 100.0)
+    return point, lo, hi

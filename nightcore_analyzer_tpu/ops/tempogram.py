@@ -1,0 +1,90 @@
+"""Autocorrelation tempogram and prior-weighted tempo picking.
+
+Rebuilds ``librosa.feature.tempogram`` + ``librosa.feature.tempo`` — which is
+the *actual* per-window BPM estimator of the reference: both of its
+"independent" estimators resolve to ``feature.tempo`` (``tempo.py:45-68``;
+``beat_track`` returns the tempo it was seeded with), so the windowed BPM is
+quantized to the ACF lag grid ``60*sr/(hop*k)`` — the exact quantization the
+reference's degenerate-CI sanity rule documents (``consensus.py:472-500``).
+
+Implementation notes:
+* local ACF per onset frame (win_length centered, periodic-Hann windowed,
+  FFT autocorrelation, per-column inf-norm) aggregated by mean, streamed in
+  chunks of ``tg_frame_chunk`` columns;
+* the reference (librosa) pads the envelope with a linear ramp before
+  framing; we zero-pad instead — with hundreds of interior columns averaged,
+  the two differ only in edge-column taper and never move the argmax lag;
+* ``stride`` subsamples aggregated columns (mean-transparent); the hop-64
+  global pass uses it to bound compute (cfg.ibi_tempo_stride).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filters
+
+__all__ = ["tempogram_mean_acf", "tempo_from_acf"]
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
+                       win_length: int, stride: int = 1,
+                       chunk: int = 64) -> jnp.ndarray:
+    """Mean over frames of the per-frame normalized local ACF.
+
+    ``env``: (frames,) onset envelope, zeros beyond ``n_valid``.
+    Returns ``(win_length,)`` — the aggregated tempogram column.
+    """
+    frames = env.shape[-1]
+    half = win_length // 2
+    envp = jnp.pad(env, (half, half + win_length))
+    window = jnp.asarray(filters.hann(win_length))
+    nfft = _next_pow2(2 * win_length)
+
+    n_cols = -(-frames // stride)            # columns t = 0, stride, 2*stride…
+    n_chunks = -(-n_cols // chunk)
+    local = jnp.arange(chunk)[:, None] * stride + jnp.arange(win_length)[None, :]
+
+    def body(acc, c):
+        t0 = c * (chunk * stride)
+        cols = jnp.take(envp, local + t0, axis=0)            # (chunk, win)
+        spec = jnp.fft.rfft(cols * window, n=nfft, axis=-1)
+        ac = jnp.fft.irfft(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2,
+                           n=nfft, axis=-1)[..., :win_length]
+        peak = jnp.max(jnp.abs(ac), axis=-1, keepdims=True)
+        ac = jnp.where(peak > 1e-20, ac / jnp.maximum(peak, 1e-20), 0.0)
+        t_idx = t0 + jnp.arange(chunk) * stride
+        m = (t_idx < n_valid)[:, None]
+        return acc + jnp.sum(jnp.where(m, ac, 0.0), axis=0), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(win_length), jnp.arange(n_chunks))
+    n_used = jnp.maximum((jnp.minimum(n_valid, frames) + stride - 1) // stride, 1)
+    return acc / n_used
+
+
+def tempo_from_acf(acf: jnp.ndarray, start_bpm: jnp.ndarray, *,
+                   hop_length: int, sr: float, std_bpm: float = 1.0,
+                   max_tempo: float | None = 320.0) -> jnp.ndarray:
+    """Prior-weighted argmax over the BPM grid (librosa ``feature.tempo``).
+
+    ``start_bpm`` may be a traced scalar (the nightcore prior is data-derived,
+    reference ``pipeline.py:174-186``).
+    """
+    win_length = acf.shape[-1]
+    bpms = jnp.asarray(filters.tempo_frequencies(win_length, hop_length, sr))
+    logprior = -0.5 * ((jnp.log2(bpms) - jnp.log2(start_bpm)) / std_bpm) ** 2
+    if max_tempo is not None:
+        logprior = jnp.where(bpms > max_tempo, -jnp.inf, logprior)
+    logprior = jnp.where(jnp.isfinite(bpms), logprior, -jnp.inf)
+    score = jnp.log1p(1e6 * acf) + logprior
+    best = jnp.argmax(score, axis=-1)
+    return jnp.take(bpms, best)

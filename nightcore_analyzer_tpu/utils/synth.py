@@ -1,0 +1,105 @@
+"""Synthetic audio generation — the test oracle of the TPU build.
+
+The reference ships no tests (SURVEY §4); the natural oracle is synthetic
+pair generation: render a music-like signal, speed-shift it by a *known*
+factor (optionally pitch-shift), and assert the recovered tempo / IBI /
+pitch ratios.  A pure resample shifts tempo and pitch together — exactly how
+classic nightcore is produced (sox ``speed``, reference ``workflow.py:117``).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import scipy.signal
+
+__all__ = ["click_track", "music_like", "speed_shift", "nightcore_pair"]
+
+
+def click_track(bpm: float, duration: float, sr: int = 22050,
+                click_hz: float = 1500.0, seed: int = 0) -> np.ndarray:
+    """Percussive click track: short exponentially-decaying tone bursts on
+    the beat grid plus low-level noise."""
+    rng = np.random.default_rng(seed)
+    n = int(duration * sr)
+    y = 0.002 * rng.normal(size=n).astype(np.float32)
+    period = 60.0 / bpm
+    t_click = np.arange(int(0.03 * sr)) / sr
+    burst = (np.exp(-t_click / 0.008) * np.sin(2 * np.pi * click_hz * t_click)
+             ).astype(np.float32)
+    beat = 0
+    while True:
+        start = int(round(beat * period * sr))
+        if start + len(burst) > n:
+            break
+        y[start:start + len(burst)] += burst
+        beat += 1
+    return y
+
+
+def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
+               root_hz: float = 220.0, seed: int = 0) -> np.ndarray:
+    """Music-like signal: chord pad (root + harmonics over a small chord
+    progression) amplitude-pulsed on the beat, plus percussive clicks and a
+    bass line.  Has enough spectral flux for onset/beat tracking and enough
+    stable harmonic energy for chroma pitch estimation."""
+    rng = np.random.default_rng(seed)
+    n = int(duration * sr)
+    t = np.arange(n) / sr
+
+    # chord progression: I - vi - IV - V (semitone offsets), 2 bars each
+    prog = [0, -3, 5, 7]
+    bar_sec = 4 * 60.0 / bpm
+    seg = 2 * bar_sec
+    chord_idx = np.minimum((t / seg).astype(np.int64) % len(prog), len(prog) - 1)
+
+    y = np.zeros(n, np.float64)
+    for ratio, amp in [(1.0, 0.22), (2.0, 0.12), (3.0, 0.07), (5.0 / 4.0, 0.1),
+                       (3.0 / 2.0, 0.12), (4.0, 0.04), (6.0, 0.025)]:
+        f = root_hz * ratio * 2.0 ** (np.take(prog, chord_idx) / 12.0)
+        phase = 2 * np.pi * np.cumsum(f) / sr
+        y += amp * np.sin(phase)
+
+    # beat-synchronous amplitude pulse (gives the onset envelope its peaks)
+    beat_phase = (t * bpm / 60.0) % 1.0
+    env = 0.35 + 0.65 * np.exp(-beat_phase / 0.12)
+    y *= env
+
+    # percussive clicks on the beat
+    y += click_track(bpm, duration, sr, click_hz=2500.0, seed=seed + 1) * 2.0
+    # bass on the beat
+    fbass = root_hz / 2.0 * 2.0 ** (np.take(prog, chord_idx) / 12.0)
+    y += 0.15 * np.sin(2 * np.pi * np.cumsum(fbass) / sr) * env
+
+    y += 0.003 * rng.normal(size=n)
+    y /= np.max(np.abs(y)) * 1.25
+    return y.astype(np.float32)
+
+
+def speed_shift(y: np.ndarray, factor: float, max_denom: int = 4096) -> np.ndarray:
+    """Resample-based speed change (tempo and pitch co-shift by ``factor``),
+    the transform sox ``speed`` applies (reference ``workflow.py:108-118``)."""
+    frac = Fraction(factor).limit_denominator(max_denom)
+    # new_rate = old / factor  →  up = denominator, down = numerator
+    out = scipy.signal.resample_poly(y.astype(np.float64), frac.denominator,
+                                     frac.numerator)
+    return out.astype(np.float32)
+
+
+def nightcore_pair(duration: float = 60.0, sr: int = 22050, bpm: float = 128.0,
+                   factor: float = 1.25, extra_pitch_st: float = 0.0,
+                   seed: int = 0):
+    """(nightcore, source) pair with known speed ``factor`` and optional
+    additional pitch shift (crude spectral shift via resample + time-stretch
+    is not attempted; ``extra_pitch_st`` instead re-renders the source with a
+    transposed root, emulating an independent pitch shift)."""
+    src = music_like(duration, sr, bpm=bpm, seed=seed)
+    if extra_pitch_st:
+        shifted = music_like(duration, sr, bpm=bpm,
+                             root_hz=220.0 * 2.0 ** (extra_pitch_st / 12.0),
+                             seed=seed)
+        nc = speed_shift(shifted, factor)
+    else:
+        nc = speed_shift(src, factor)
+    return nc, src
