@@ -1,0 +1,367 @@
+"""Host-side consensus: classification, Rubber Band params, sanity warnings.
+
+The device program (:mod:`..models.analyzer`) returns the numbers — medians,
+bootstrap CIs, counts, flags.  This module turns them into an
+:class:`AnalysisResult` with the same decision logic and compatibility
+surface as the reference consensus layer (``consensus.py:315-608``):
+
+* 4-way classification with CI-overlap logic (``consensus.py:315-336``);
+* beat-tracker half-time auto-correction — invert ratio + CI when the
+  nightcore is ≥1 % shorter yet the detected ratio is < 1
+  (``consensus.py:563-576``);
+* Rubber Band reconstruction parameters incl. the duration-based fallback
+  (``consensus.py:339-381``);
+* the six sanity-warning rules (``consensus.py:384-515``).
+
+A list-based :func:`build_result` mirroring the reference's public signature
+(``consensus.py:519``) is provided for API compatibility; it routes the
+bootstraps through the same device ops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import AnalyzerConfig, DEFAULT_CONFIG
+from .result import AnalysisResult
+
+__all__ = ["classify", "rubberband_params", "sanity_warnings",
+           "build_result", "compute_ibi_ratio", "result_from_pair_analysis"]
+
+
+def classify(tempo_ratio: float, pitch_ratio: float,
+             tempo_ci: Tuple[float, float], pitch_ci: Tuple[float, float],
+             tol: float = DEFAULT_CONFIG.pure_nc_tolerance) -> str:
+    """4-way alignment classification (reference ``consensus.py:315-336``)."""
+    diff = pitch_ratio - tempo_ratio
+    ci_overlap = tempo_ci[0] <= pitch_ci[1] and pitch_ci[0] <= tempo_ci[1]
+    if abs(diff) <= tol or (ci_overlap and abs(diff) <= 2 * tol):
+        return "pure_nightcore"
+    if diff > tol:
+        return "independent_pitch_shift"
+    if tempo_ratio > 1.0 + tol and diff < -tol:
+        return "time_stretch_only"
+    return "ambiguous"
+
+
+def rubberband_params(tempo_ratio: float, pitch_ratio: float,
+                      nc_duration: Optional[float] = None,
+                      src_duration: Optional[float] = None) -> dict:
+    """Rubber Band parameters to reconstruct the original FROM the nightcore
+    (reference ``consensus.py:339-381``): ``--time`` undoes the speed-up,
+    ``--pitch = -12·log2(pitch_ratio)`` undoes the net pitch shift; a
+    duration-ratio based alternative is included whenever durations exist."""
+    pitch_st = -12.0 * math.log2(pitch_ratio)
+    rb = {
+        "time_ratio": round(tempo_ratio, 6),
+        "pitch_semitones": round(pitch_st, 4),
+        "nc_to_source_speed": round(1.0 / tempo_ratio, 6) if tempo_ratio else None,
+        "cli_command": (f"rubberband --time {tempo_ratio:.6f}"
+                        f" --pitch {pitch_st:.4f}"
+                        " nightcore.flac reconstructed.flac"),
+    }
+    if nc_duration and src_duration and nc_duration > 0:
+        dur_ratio = src_duration / nc_duration
+        dur_pitch = -12.0 * math.log2(dur_ratio)
+        rb["duration_time_ratio"] = round(dur_ratio, 6)
+        rb["duration_pitch_semitones"] = round(dur_pitch, 4)
+        rb["duration_cli_command"] = (f"rubberband --time {dur_ratio:.6f}"
+                                      f" --pitch {dur_pitch:.4f}"
+                                      " nightcore.flac reconstructed.flac")
+    return rb
+
+
+def sanity_warnings(tempo_ratio: float, pitch_ratio: float,
+                    tempo_ci: Tuple[float, float], pitch_ci: Tuple[float, float],
+                    nc_duration: Optional[float], src_duration: Optional[float],
+                    tempo_was_corrected: bool,
+                    cfg: AnalyzerConfig = DEFAULT_CONFIG) -> List[str]:
+    """The six runtime sanity rules (reference ``consensus.py:384-515``)."""
+    out: List[str] = []
+
+    if tempo_was_corrected:
+        out.append(
+            "Beat-tracker half-time artefact corrected: the raw tempo ratio came "
+            f"out below 1 even though the nightcore file ({nc_duration:.1f} s) is "
+            f"shorter than the source ({src_duration:.1f} s) — the nightcore IS "
+            f"faster, so the ratio was inverted to {tempo_ratio:.4f}× "
+            "automatically. Half-time beat tracking is a known artefact for "
+            "high-BPM (>~130) music."
+        )
+    elif nc_duration is not None and src_duration is not None:
+        dur_ratio = nc_duration / src_duration
+        if abs(dur_ratio - 1.0) < cfg.near_unity_tolerance:
+            out.append(
+                f"Both files are nearly the same duration ({nc_duration:.1f} s vs "
+                f"{src_duration:.1f} s). Check that you did not pass two nightcore "
+                "files or two originals — a real nightcore is usually 10–35% "
+                "shorter than its source."
+            )
+    else:
+        if abs(tempo_ratio - 1.0) < cfg.near_unity_tolerance:
+            out.append(
+                f"Tempo ratio is {tempo_ratio:.4f} — the files appear to run at "
+                "the same speed. Check that you did not pass two nightcore files "
+                "or two originals; a real nightcore is typically "
+                f"{cfg.nightcore_ratio_min}–{cfg.nightcore_ratio_max}× faster."
+            )
+        elif tempo_ratio < 1.0:
+            out.append(
+                f"Tempo ratio is {tempo_ratio:.4f} < 1.0 — either a half-time "
+                f"detection artefact (true ratio may be {1.0 / tempo_ratio:.4f}×) "
+                "or the files are in the wrong order. Re-run with the original "
+                "as --source to disambiguate."
+            )
+        elif tempo_ratio > cfg.nightcore_ratio_max:
+            out.append(
+                f"Tempo ratio is {tempo_ratio:.4f}, above the typical nightcore "
+                f"range ({cfg.nightcore_ratio_min}–{cfg.nightcore_ratio_max}×). "
+                "Verify the input files."
+            )
+
+    if nc_duration is not None and src_duration is not None and nc_duration > 0:
+        dur_speed = src_duration / nc_duration
+        disc = abs(dur_speed - tempo_ratio) / tempo_ratio if tempo_ratio else 0.0
+        if disc > cfg.duration_tempo_mismatch_tolerance:
+            out.append(
+                f"Duration ratio ({dur_speed:.4f}×) and detected tempo ratio "
+                f"({tempo_ratio:.4f}×) disagree by {disc * 100:.1f}%. For a pure "
+                "speed-up they should match — the two files are most likely "
+                "different edits/versions of the song (radio edit vs extended "
+                "mix). Either find the exact source version, or use the duration "
+                f"ratio ({dur_speed:.4f}×) directly as the rubberband --time "
+                "factor."
+            )
+
+    if abs(tempo_ci[1] - tempo_ci[0]) < 0.001:
+        if nc_duration and src_duration:
+            dur_speed = src_duration / nc_duration
+            mismatch = abs(tempo_ratio - dur_speed) / dur_speed
+            if mismatch < cfg.duration_tempo_mismatch_tolerance:
+                out.append(
+                    f"Tempo CI is degenerate [lo = hi = {tempo_ci[0]:.6f}]: every "
+                    "window returned the same BPM. That is expected for "
+                    "constant-tempo (drum-machine) music, and the detected ratio "
+                    f"({tempo_ratio:.4f}×) agrees with the duration ratio "
+                    f"({dur_speed:.4f}×) — the result is reliable."
+                )
+            else:
+                out.append(
+                    f"Tempo CI is degenerate [lo = hi = {tempo_ci[0]:.6f}] and the "
+                    f"detected ratio ({tempo_ratio:.4f}×) disagrees with the "
+                    f"duration ratio ({dur_speed:.4f}×) by {mismatch * 100:.1f}% — "
+                    "a BPM-grid quantisation artefact (every window snapped to "
+                    "the same wrong grid BPM). Prefer the 'Duration-based' CLI "
+                    "command over 'CLI (detected)'."
+                )
+        else:
+            out.append(
+                f"Tempo CI is degenerate [lo = hi = {tempo_ci[0]:.6f}]: every "
+                "window returned the same BPM. This is either a tempo-grid "
+                "quantisation artefact or genuinely constant-tempo material; "
+                "provide both file durations to tell the two apart."
+            )
+
+    if pitch_ratio > 0:
+        span = pitch_ci[1] - pitch_ci[0]
+        if span > cfg.wide_ci_relative * pitch_ratio:
+            out.append(
+                f"Pitch CI is very wide ({pitch_ci[0]:.3f}–{pitch_ci[1]:.3f}) "
+                f"relative to the point estimate ({pitch_ratio:.4f}) — the pitch "
+                "estimator could not settle on a consistent ratio (common for "
+                "heavily processed or dense polyphonic audio). Trust the tempo "
+                "ratio; treat pitch and the classification as approximate."
+            )
+
+    return out
+
+
+def _finalize(tempo_ratio, tempo_ci, pitch_ratio, pitch_ci,
+              nc_duration, src_duration, cfg):
+    """Half-time flip + classification + rubberband + warnings."""
+    corrected = False
+    if (nc_duration is not None and src_duration is not None
+            and nc_duration < src_duration * 0.99 and tempo_ratio < 1.0):
+        tempo_ratio = 1.0 / tempo_ratio
+        lo, hi = tempo_ci
+        tempo_ci = (1.0 / hi, 1.0 / lo)
+        corrected = True
+    cls = classify(tempo_ratio, pitch_ratio, tempo_ci, pitch_ci,
+                   cfg.pure_nc_tolerance)
+    rb = rubberband_params(tempo_ratio, pitch_ratio, nc_duration, src_duration)
+    warns = sanity_warnings(tempo_ratio, pitch_ratio, tempo_ci, pitch_ci,
+                            nc_duration, src_duration, corrected, cfg)
+    return tempo_ratio, tempo_ci, cls, rb, warns, corrected
+
+
+def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
+                              compute_pitch: bool = True,
+                              pitch_method: Optional[str] = "chroma_xcorr",
+                              ) -> AnalysisResult:
+    """Assemble an :class:`AnalysisResult` from a device ``PairAnalysis``.
+
+    Raises the same error surface as the reference pipeline: RuntimeError
+    when the energy gate removed every window (``pipeline.py:142-146``),
+    ValueError when too few tempo windows validated (``consensus.py:543-547``).
+    """
+    g = lambda x: np.asarray(x)  # noqa: E731
+    sr = cfg.sample_rate
+
+    if bool(g(pa.all_gated)):
+        raise RuntimeError(
+            "All windows were discarded by the energy gate.  "
+            "Try raising --energy-gate (e.g. --energy-gate -60).")
+
+    n_src_t = int(g(pa.src_tempo_mask).sum())
+    n_nc_t = int(g(pa.nc_tempo_mask).sum())
+    if bool(g(pa.tempo_insufficient)):
+        raise ValueError(
+            f"Insufficient valid tempo windows (source: {n_src_t}, "
+            f"nightcore: {n_nc_t}).  Need ≥ {cfg.min_valid} each.")
+
+    nc_duration = float(g(pa.nc_len)) / sr
+    src_duration = float(g(pa.src_len)) / sr
+
+    # pitch — degrade gracefully below MIN_VALID chunks (consensus.py:550-559)
+    n_chunks = int(g(pa.n_chunks)) if compute_pitch else 0
+    if compute_pitch and n_chunks >= cfg.min_valid:
+        pitch_ratio = float(g(pa.pitch_ratio))
+        pitch_ci = (float(g(pa.pitch_lo)), float(g(pa.pitch_hi)))
+        n_pitch = n_chunks
+    else:
+        pitch_ratio, pitch_ci, n_pitch = 1.0, (1.0, 1.0), 0
+
+    tempo_ratio = float(g(pa.tempo_ratio))
+    tempo_ci = (float(g(pa.tempo_lo)), float(g(pa.tempo_hi)))
+
+    tempo_ratio, tempo_ci, cls, rb, warns, _ = _finalize(
+        tempo_ratio, tempo_ci, pitch_ratio, pitch_ci,
+        nc_duration, src_duration, cfg)
+
+    # raw per-window data for the GUI histograms (gated windows only, with
+    # None for windows that failed the beat-count gate — tempo.py:98-111)
+    def raw_list(tempos, tmask, gate):
+        tempos, tmask, gate = g(tempos), g(tmask), g(gate)
+        return [float(t) if m else None
+                for t, m, in_g in zip(tempos, tmask, gate) if in_g]
+
+    shifts = g(pa.pitch_shifts_st)
+    cmask = g(pa.pitch_chunk_mask)
+    nc_pitches_raw = [float(cfg.ref_hz * 2.0 ** (s / 12.0))
+                      for s, m in zip(shifts, cmask) if m] if compute_pitch else []
+    src_pitches_raw = [float(cfg.ref_hz)] * len(nc_pitches_raw)
+
+    result = AnalysisResult(
+        tempo_ratio=tempo_ratio,
+        pitch_ratio=pitch_ratio,
+        tempo_ci=tempo_ci,
+        pitch_ci=pitch_ci,
+        classification=cls,
+        n_source_pitch_windows=n_pitch,
+        n_nc_pitch_windows=n_pitch,
+        n_source_tempo_windows=n_src_t,
+        n_nc_tempo_windows=n_nc_t,
+        rubberband=rb,
+        src_pitches_raw=src_pitches_raw,
+        nc_pitches_raw=nc_pitches_raw,
+        src_tempos_raw=raw_list(pa.src_tempos, pa.src_tempo_mask, pa.src_gate),
+        nc_tempos_raw=raw_list(pa.nc_tempos, pa.nc_tempo_mask, pa.nc_gate),
+        nc_duration=nc_duration,
+        src_duration=src_duration,
+        nc_median_bpm=float(g(pa.nc_median_bpm)) if n_nc_t else None,
+        src_median_bpm=float(g(pa.src_median_bpm)) if n_src_t else None,
+        warnings=warns,
+        pitch_method=pitch_method if compute_pitch else None,
+    )
+
+    if bool(g(pa.ibi_valid)):
+        result.ibi_ratio = float(g(pa.ibi_ratio))
+        result.ibi_ci = (float(g(pa.ibi_lo)), float(g(pa.ibi_hi)))
+
+    off = float(g(pa.intro_offset)) / sr
+    result.intro_offset_sec = off if off > 0 else None
+    return result
+
+
+# ── reference-compatible list-based API ──────────────────────────────────────
+
+def _to_masked(values: Sequence[Optional[float]], n_max: Optional[int] = None):
+    vals = np.zeros(max(n_max or len(values), 1), np.float32)
+    mask = np.zeros(vals.shape, bool)
+    for i, v in enumerate(values):
+        if v is not None and np.isfinite(v) and v > 0:
+            vals[i] = v
+            mask[i] = True
+    return vals, mask
+
+
+def _np_bootstrap_ratio(num, den, n_boot, ci, seed=42):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.stats import bootstrap_ratio_ci
+    nv, nm = _to_masked(num)
+    dv, dm = _to_masked(den)
+    point, lo, hi = bootstrap_ratio_ci(
+        jax.random.PRNGKey(seed), jnp.asarray(nv), jnp.asarray(nm),
+        jnp.asarray(dv), jnp.asarray(dm), n_boot=n_boot, ci=ci)
+    return float(point), (float(lo), float(hi))
+
+
+def build_result(src_pitches: Sequence[Optional[float]],
+                 nc_pitches: Sequence[Optional[float]],
+                 src_tempos: Sequence[Optional[float]],
+                 nc_tempos: Sequence[Optional[float]], *,
+                 nc_duration: Optional[float] = None,
+                 src_duration: Optional[float] = None,
+                 cfg: AnalyzerConfig = DEFAULT_CONFIG) -> AnalysisResult:
+    """Reference-signature consensus entry (``consensus.py:519-608``) for
+    callers that hold per-window estimate lists."""
+    def valid(xs):
+        return [x for x in xs if x is not None and np.isfinite(x) and x > 0]
+
+    sv, nv = valid(src_tempos), valid(nc_tempos)
+    if len(sv) < cfg.min_valid or len(nv) < cfg.min_valid:
+        raise ValueError(
+            f"Insufficient valid tempo windows (source: {len(sv)}, "
+            f"nightcore: {len(nv)}).  Need ≥ {cfg.min_valid} each.")
+
+    sp, npi = valid(src_pitches), valid(nc_pitches)
+    if len(sp) >= cfg.min_valid and len(npi) >= cfg.min_valid:
+        pitch_ratio, pitch_ci = _np_bootstrap_ratio(
+            nc_pitches, src_pitches, cfg.n_bootstrap, cfg.ci_level)
+        n_sp, n_np = len(sp), len(npi)
+    else:
+        pitch_ratio, pitch_ci, n_sp, n_np = 1.0, (1.0, 1.0), 0, 0
+
+    tempo_ratio, tempo_ci = _np_bootstrap_ratio(
+        nc_tempos, src_tempos, cfg.n_bootstrap, cfg.ci_level)
+
+    tempo_ratio, tempo_ci, cls, rb, warns, _ = _finalize(
+        tempo_ratio, tempo_ci, pitch_ratio, pitch_ci,
+        nc_duration, src_duration, cfg)
+
+    return AnalysisResult(
+        tempo_ratio=tempo_ratio, pitch_ratio=pitch_ratio,
+        tempo_ci=tempo_ci, pitch_ci=pitch_ci, classification=cls,
+        n_source_pitch_windows=n_sp, n_nc_pitch_windows=n_np,
+        n_source_tempo_windows=len(sv), n_nc_tempo_windows=len(nv),
+        rubberband=rb,
+        src_pitches_raw=list(src_pitches), nc_pitches_raw=list(nc_pitches),
+        src_tempos_raw=list(src_tempos), nc_tempos_raw=list(nc_tempos),
+        nc_duration=nc_duration, src_duration=src_duration,
+        nc_median_bpm=float(np.median(nv)) if nv else None,
+        src_median_bpm=float(np.median(sv)) if sv else None,
+        warnings=warns)
+
+
+def compute_ibi_ratio(nc_ibis: np.ndarray, src_ibis: np.ndarray,
+                      n_boot: int = DEFAULT_CONFIG.n_bootstrap,
+                      ci: float = DEFAULT_CONFIG.ci_level):
+    """``median(src_ibis)/median(nc_ibis)`` + bootstrap CI
+    (reference ``consensus.py:270-312``)."""
+    point, bounds = _np_bootstrap_ratio(list(map(float, src_ibis)),
+                                        list(map(float, nc_ibis)), n_boot, ci)
+    return point, bounds

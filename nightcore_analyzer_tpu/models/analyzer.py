@@ -51,6 +51,8 @@ class PairAnalysis(NamedTuple):
     nc_tempo_mask: jnp.ndarray
     n_src_windows: jnp.ndarray      # windows surviving the energy gate
     n_nc_windows: jnp.ndarray
+    src_gate: jnp.ndarray           # (n_window_slots,) energy-gate masks
+    nc_gate: jnp.ndarray
     all_gated: jnp.ndarray          # bool — reference RuntimeError condition
     src_median_bpm: jnp.ndarray
     nc_median_bpm: jnp.ndarray
@@ -256,6 +258,7 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
         src_tempos=src_tempos, src_tempo_mask=src_tmask,
         nc_tempos=nc_tempos, nc_tempo_mask=nc_tmask,
         n_src_windows=jnp.sum(src_gate), n_nc_windows=jnp.sum(nc_gate),
+        src_gate=src_gate, nc_gate=nc_gate,
         all_gated=all_gated,
         src_median_bpm=src_median, nc_median_bpm=nc_median,
         nc_start_bpm=nc_start_bpm,

@@ -38,11 +38,27 @@ class BeatTrackResult(NamedTuple):
     period: jnp.ndarray     # () float — DP beat period in frames
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _local_score(envn: jnp.ndarray, period: jnp.ndarray, half_width: int) -> jnp.ndarray:
-    """Gaussian-smoothed onset envelope (librosa ``__beat_local_score``)."""
+    """Gaussian-smoothed onset envelope (librosa ``__beat_local_score``).
+
+    FFT-based 'same' convolution — the kernel is tempo-dependent (traced), and
+    frequency-domain convolution both compiles fast and maps well to the TPU
+    (direct ``lax.conv`` with ~800-tap kernels is compile-hostile on CPU).
+    """
+    F = envn.shape[-1]
     t = jnp.arange(-half_width, half_width + 1).astype(jnp.float32)
     win = jnp.exp(-0.5 * (t * 32.0 / period) ** 2)
-    return jnp.convolve(envn, win, mode="same")
+    nfft = _next_pow2(F + 2 * half_width + 1)
+    conv = jnp.fft.irfft(jnp.fft.rfft(envn, n=nfft) * jnp.fft.rfft(win, n=nfft),
+                         n=nfft)
+    return conv[..., half_width:half_width + F]
 
 
 def _dp(localscore: jnp.ndarray, period: jnp.ndarray, tightness: float, W: int):
@@ -116,8 +132,9 @@ def _trim(localscore: jnp.ndarray, beats: jnp.ndarray, n: jnp.ndarray):
     max_beats = beats.shape[0]
     mask = beats >= 0
     ls = jnp.where(mask, jnp.take(localscore, jnp.maximum(beats, 0)), 0.0)
-    w5 = jnp.asarray(filters.hann_sym(5))
-    smooth = jnp.convolve(ls, w5, mode="same")
+    # hann_sym(5) = [0, .5, 1, .5, 0] — 'same' conv as three shifted adds
+    lsp = jnp.pad(ls, (1, 1))
+    smooth = 0.5 * lsp[:-2] + lsp[1:-1] + 0.5 * lsp[2:]
     mean_sq = jnp.sum(jnp.where(mask, smooth ** 2, 0.0)) / jnp.maximum(n, 1)
     thr = 0.5 * jnp.sqrt(mean_sq)
     good = (smooth > thr) & mask

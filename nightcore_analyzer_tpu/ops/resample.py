@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,14 +26,26 @@ def _hb(n_taps: int = 97) -> np.ndarray:
 
 
 def decimate2(y: jnp.ndarray) -> jnp.ndarray:
-    """Anti-aliased 2× decimation along the last axis; output length ceil(N/2)."""
-    h = jnp.asarray(_hb())
-    lp = jnp.convolve(y, h, mode="same") if y.ndim == 1 else None
-    if lp is None:
-        import jax
-        lp = jax.vmap(lambda x: jnp.convolve(x, h, mode="same"))(y.reshape(-1, y.shape[-1]))
-        lp = lp.reshape(y.shape)
-    return lp[..., ::2]
+    """Anti-aliased 2× decimation along the last axis; output length ceil(N/2).
+
+    The half-band FIR is applied as a sum of statically shifted strided
+    slices — half the filter taps are zero by construction, XLA fuses the
+    whole thing into one vectorized pass, and (unlike ``lax.conv`` with a
+    ~100-tap kernel) it compiles quickly on every backend.
+    """
+    h = _hb()
+    half = (len(h) - 1) // 2
+    N = y.shape[-1]
+    n_out = (N + 1) // 2
+    ypad = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(half, half + 2)])
+    out = None
+    for t, ht in enumerate(h):
+        if abs(float(ht)) < 1e-12:
+            continue
+        term = float(ht) * jax.lax.slice_in_dim(
+            ypad, t, t + 2 * n_out, stride=2, axis=-1)
+        out = term if out is None else out + term
+    return out
 
 
 def decimate_pow2(y: jnp.ndarray, factor: int) -> jnp.ndarray:

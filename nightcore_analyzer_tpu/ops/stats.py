@@ -68,8 +68,7 @@ def percentile(sorted_vals: jnp.ndarray, q: float) -> jnp.ndarray:
     """np.percentile (linear interpolation) over a pre-sorted last axis."""
     n = sorted_vals.shape[-1]
     pos = q / 100.0 * (n - 1)
-    lo = int(jnp.floor(pos)) if isinstance(pos, float) else None
-    lo = jnp.floor(pos).astype(jnp.int32)
+    lo = jnp.floor(jnp.asarray(pos)).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, n - 1)
     frac = pos - lo
     vlo = jnp.take(sorted_vals, lo, axis=-1)
