@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark: batched pair analysis throughput on one TPU chip vs CPU baseline.
+
+Prints ONE JSON line:
+    {"metric": "pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
+     "vs_baseline": N}
+
+* value        — (nightcore, source) pairs fully analyzed per second on one
+                 chip (trim → gate → chroma pitch → two-phase windowed tempo
+                 → bootstrap CIs → hop-64 IBI pass), batched corpus program.
+* vs_baseline  — speedup over the measured serial CPU implementation of the
+                 reference architecture (cpu_baseline/reference.py), i.e. the
+                 BASELINE.md "≥50× CPU librosa" bar.
+
+Flags: --pairs N (batch size), --duration S (track length), --reps R,
+--baseline-duration S (CPU measured on a shorter pair and scaled linearly),
+--skip-baseline (reuse cached baseline measurement if present).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / ".bench_cpu_baseline.json"
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
+    from nightcore_analyzer_tpu.utils import synth
+    pairs = []
+    for i in range(n_pairs):
+        bpm = [122.0, 128.0, 140.0, 150.0][i % 4]
+        factor = [1.18, 1.22, 1.25, 1.30][(i // 4) % 4]
+        src = synth.music_like(duration, sr, bpm=bpm, seed=i)
+        nc = synth.speed_shift(src, factor)
+        pairs.append((nc, src))
+        log(f"  corpus pair {i + 1}/{n_pairs} (bpm {bpm}, factor {factor})")
+    return pairs
+
+
+def measure_tpu(pairs, duration: float, reps: int) -> float:
+    import jax
+    from nightcore_analyzer_tpu.config import DEFAULT_CONFIG, bucket_for_duration
+    from nightcore_analyzer_tpu.batch.corpus import CorpusAnalyzer, PairBuffers
+
+    cfg = DEFAULT_CONFIG.replace(
+        max_duration_sec=bucket_for_duration(duration + 1.0))
+    analyzer = CorpusAnalyzer(cfg)
+    log(f"devices: {jax.devices()}")
+
+    B = len(pairs)
+    bufs = PairBuffers(
+        nc=np.zeros((B, cfg.max_samples), np.float32),
+        n_nc=np.zeros(B, np.int32),
+        src=np.zeros((B, cfg.max_samples), np.float32),
+        n_src=np.zeros(B, np.int32),
+        src_trim=np.zeros(B, np.int32),
+        mask=np.ones(B, bool))
+    for i, (nc, src) in enumerate(pairs):
+        bufs.nc[i, :len(nc)] = nc
+        bufs.n_nc[i] = len(nc)
+        bufs.src[i, :len(src)] = src
+        bufs.n_src[i] = len(src)
+
+    log("compiling + warmup…")
+    t0 = time.time()
+    pa, stats = analyzer.analyze_buffers(bufs)
+    jax.block_until_ready(pa.tempo_ratio)
+    log(f"  warmup {time.time() - t0:.1f}s; "
+        f"mean tempo ratio {float(np.asarray(stats.mean_tempo_ratio)):.4f} "
+        f"({int(np.asarray(stats.n_ok))}/{B} analyzable)")
+
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        pa, stats = analyzer.analyze_buffers(bufs)
+        jax.block_until_ready(pa.tempo_ratio)
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"  rep {r + 1}/{reps}: {dt:.3f}s  ({B / dt:.2f} pairs/s)")
+    best = min(times)
+    return B / best
+
+
+def measure_cpu_baseline(duration: float, full_duration: float,
+                         reuse: bool) -> float:
+    """Seconds per full-duration pair on CPU (linear scaling from a shorter
+    measured pair)."""
+    if reuse and BASELINE_CACHE.exists():
+        d = json.loads(BASELINE_CACHE.read_text())
+        if abs(d.get("duration", 0) - duration) < 1e-6:
+            log(f"reusing cached CPU baseline: {d['sec_per_pair']:.1f}s "
+                f"per {duration:.0f}s pair")
+            return d["sec_per_pair"] * full_duration / duration
+    from nightcore_analyzer_tpu.utils import synth
+    from cpu_baseline import analyze_pair_cpu
+    src = synth.music_like(duration, 22050, bpm=128.0, seed=999)
+    nc = synth.speed_shift(src, 1.25)
+    log(f"measuring CPU baseline on one {duration:.0f}s pair…")
+    t0 = time.time()
+    out = analyze_pair_cpu(nc, src)
+    dt = time.time() - t0
+    log(f"  CPU: {dt:.1f}s per pair (tempo {out['tempo_ratio']:.4f}, "
+        f"ibi {out['ibi_ratio']})")
+    BASELINE_CACHE.write_text(json.dumps(
+        {"duration": duration, "sec_per_pair": dt}))
+    return dt * full_duration / duration
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=32)
+    ap.add_argument("--duration", type=float, default=120.0)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--baseline-duration", type=float, default=60.0)
+    ap.add_argument("--skip-baseline", action="store_true",
+                    help="reuse cached CPU baseline measurement if present")
+    args = ap.parse_args()
+
+    log(f"generating corpus: {args.pairs} pairs × {args.duration:.0f}s…")
+    pairs = make_corpus(args.pairs, args.duration)
+
+    pairs_per_sec = measure_tpu(pairs, args.duration, args.reps)
+
+    cpu_sec_per_pair = measure_cpu_baseline(
+        args.baseline_duration, args.duration, args.skip_baseline)
+    cpu_pairs_per_sec = 1.0 / cpu_sec_per_pair
+
+    vs = pairs_per_sec / cpu_pairs_per_sec
+    print(json.dumps({
+        "metric": "pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

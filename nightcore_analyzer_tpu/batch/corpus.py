@@ -1,0 +1,163 @@
+"""Corpus-scale batched analysis — where the TPU metric is earned.
+
+``vmap(analyze_pair)`` over the pair axis, the pair axis sharded across the
+device mesh (SURVEY §7 step 4).  The reference analyzes one pair per process
+(serial Python loops, SURVEY §2.3); here a whole corpus is one SPMD program:
+
+    (B, max_samples) float32 × 2  →  PairAnalysis with leading axis B
+                                  →  shard_map psum corpus report
+
+Ragged lengths are handled by duration bucketing on the host (each bucket is
+one compiled executable) plus per-pair sample counts + masks on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import AnalyzerConfig, DEFAULT_CONFIG, bucket_for_duration
+
+__all__ = ["PairBuffers", "pack_pair", "CorpusAnalyzer"]
+
+
+@dataclass
+class PairBuffers:
+    """Host-packed fixed-shape corpus buffers for one duration bucket."""
+    nc: np.ndarray        # (B, max_samples) float32
+    n_nc: np.ndarray      # (B,) int32
+    src: np.ndarray       # (B, max_samples) float32
+    n_src: np.ndarray     # (B,) int32
+    src_trim: np.ndarray  # (B,) int32
+    mask: np.ndarray      # (B,) bool — False for padding pairs
+
+
+def pack_pair(nc: np.ndarray, src: np.ndarray, cfg: AnalyzerConfig):
+    buf_nc = np.zeros(cfg.max_samples, np.float32)
+    buf_src = np.zeros(cfg.max_samples, np.float32)
+    n_nc = min(len(nc), cfg.max_samples)
+    n_src = min(len(src), cfg.max_samples)
+    buf_nc[:n_nc] = nc[:n_nc]
+    buf_src[:n_src] = src[:n_src]
+    return buf_nc, n_nc, buf_src, n_src
+
+
+class CorpusAnalyzer:
+    """Batched, mesh-sharded pair analysis.
+
+    Parameters
+    ----------
+    cfg : AnalyzerConfig (its ``max_duration_sec`` fixes the bucket)
+    mesh : jax.sharding.Mesh or None — defaults to all devices on one
+        ``data`` axis; pass a CPU mesh in tests.
+    compute_pitch / auto_align : trace-time pipeline flags.
+    """
+
+    def __init__(self, cfg: AnalyzerConfig = DEFAULT_CONFIG, mesh=None, *,
+                 compute_pitch: bool = True, auto_align: bool = False):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..models.analyzer import analyze_pair
+        from ..parallel.mesh import default_mesh, corpus_stats
+
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self.n_devices = int(np.prod(list(self.mesh.shape.values())))
+
+        fn = partial(analyze_pair, cfg=cfg, auto_align=auto_align,
+                     compute_pitch=compute_pitch)
+        vfn = jax.vmap(lambda nc, n_nc, src, n_src, trim:
+                       fn(nc, n_nc, src, n_src, trim))
+
+        data_sh = NamedSharding(self.mesh, P("data"))
+        data2_sh = NamedSharding(self.mesh, P("data", None))
+
+        def batched(nc, n_nc, src, n_src, trim, mask):
+            pa = vfn(nc, n_nc, src, n_src, trim)
+            tempo_ok = ~pa.tempo_insufficient & ~pa.all_gated
+            stats = jax.shard_map(
+                partial(corpus_stats, tolerance=cfg.pure_nc_tolerance),
+                mesh=self.mesh,
+                in_specs=(P("data"),) * 6,
+                out_specs=P(),
+            )(pa.tempo_ratio, pa.pitch_ratio, pa.ibi_ratio, pa.ibi_valid,
+              tempo_ok, mask)
+            return pa, stats
+
+        self._fn = jax.jit(
+            batched,
+            in_shardings=(data2_sh, data_sh, data2_sh, data_sh, data_sh,
+                          data_sh),
+        )
+        self._jax = jax
+
+    def pad_batch(self, buffers: PairBuffers) -> PairBuffers:
+        """Pad the pair axis to a multiple of the mesh size."""
+        B = len(buffers.n_nc)
+        rem = (-B) % self.n_devices
+        if rem == 0:
+            return buffers
+        z = np.zeros((rem, self.cfg.max_samples), np.float32)
+        zi = np.zeros(rem, np.int32)
+        return PairBuffers(
+            nc=np.concatenate([buffers.nc, z]),
+            n_nc=np.concatenate([buffers.n_nc, zi]),
+            src=np.concatenate([buffers.src, z]),
+            n_src=np.concatenate([buffers.n_src, zi]),
+            src_trim=np.concatenate([buffers.src_trim, zi]),
+            mask=np.concatenate([buffers.mask, np.zeros(rem, bool)]))
+
+    def analyze_buffers(self, buffers: PairBuffers):
+        """Run the device program; returns (PairAnalysis[B], CorpusStats)."""
+        jnp = self._jax.numpy
+        b = self.pad_batch(buffers)
+        return self._fn(jnp.asarray(b.nc), jnp.asarray(b.n_nc),
+                        jnp.asarray(b.src), jnp.asarray(b.n_src),
+                        jnp.asarray(b.src_trim), jnp.asarray(b.mask))
+
+    def analyze_pairs(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+                      src_trim_sec: Optional[Sequence[float]] = None):
+        """Analyze in-memory (nc, src) array pairs.
+
+        Returns ``(results, stats)`` where ``results`` is a list with one
+        ``AnalysisResult`` (or an error-string) per input pair.
+        """
+        from ..analyze.consensus import result_from_pair_analysis
+
+        cfg = self.cfg
+        B = len(pairs)
+        bufs = PairBuffers(
+            nc=np.zeros((B, cfg.max_samples), np.float32),
+            n_nc=np.zeros(B, np.int32),
+            src=np.zeros((B, cfg.max_samples), np.float32),
+            n_src=np.zeros(B, np.int32),
+            src_trim=np.zeros(B, np.int32),
+            mask=np.ones(B, bool))
+        for i, (nc, src) in enumerate(pairs):
+            bnc, n_nc, bsrc, n_src = pack_pair(nc, src, cfg)
+            bufs.nc[i], bufs.n_nc[i] = bnc, n_nc
+            bufs.src[i], bufs.n_src[i] = bsrc, n_src
+            if src_trim_sec is not None:
+                bufs.src_trim[i] = int(src_trim_sec[i] * cfg.sample_rate)
+
+        pa, stats = self.analyze_buffers(bufs)
+        pa = self._jax.tree_util.tree_map(np.asarray, pa)
+
+        results: List = []
+        for i in range(B):
+            row = self._jax.tree_util.tree_map(lambda x: x[i], pa)
+            try:
+                results.append(result_from_pair_analysis(row, cfg))
+            except (RuntimeError, ValueError) as exc:
+                results.append(str(exc))
+        return results, stats
+
+    @classmethod
+    def for_durations(cls, durations_sec: Sequence[float],
+                      base_cfg: AnalyzerConfig = DEFAULT_CONFIG, **kw):
+        """Analyzer sized to the smallest bucket holding every duration."""
+        bucket = bucket_for_duration(max(durations_sec))
+        return cls(base_cfg.replace(max_duration_sec=bucket), **kw)
