@@ -8,14 +8,22 @@ as a single pure array program over fixed-shape buffers:
     nightcore prior = median(src BPM) × duration ratio, ``pipeline.py:161-186``)
     → bootstrap ratios → full-signal hop-64 IBI pass (``pipeline.py:198-213``)
 
-Everything data-dependent (agreement gates, fallbacks) is computed with masks
-and ``where``-selects; all strings/warnings live on the host side
-(``analyze.consensus``), which consumes the returned scalar flags — the same
-numbers/prose split as the reference's consensus layer.
+Architecture notes:
 
-Batching: ``analyze_pair`` is written for one pair; ``batch.corpus`` vmaps it
-over the pair axis and shards that axis across the TPU mesh (SURVEY §2.3's
-parallelism map).
+* The two sides of a pair (nightcore, source) are **stacked on a leading
+  side-axis** and processed by one vmapped program wherever the math is
+  prior-independent (onset envelopes, tempograms, chroma, beat DP).  This
+  halves the XLA graph (compile time) and doubles the lane width of the
+  sequential beat-tracker scans (runtime) versus processing the sides
+  separately.  Only the tempo-prior picks (cheap argmaxes) are side-ordered,
+  because the nightcore prior derives from the source windows.
+* Everything data-dependent (agreement gates, fallbacks) is masks +
+  ``where``-selects; strings/warnings live on the host (``analyze.consensus``)
+  consuming the returned scalar flags — the same numbers/prose split as the
+  reference's consensus layer.
+* ``analyze_pair`` is written for one pair; ``batch.corpus`` vmaps it over
+  the pair axis and shards that axis across the TPU mesh (SURVEY §2.3's
+  parallelism map).
 """
 
 from __future__ import annotations
@@ -31,6 +39,8 @@ from ..ops import onset, tempogram, beat, chroma, energy, resample, stats, align
 from ..ops.stats import masked_median
 
 __all__ = ["PairAnalysis", "analyze_pair", "build_analyze_fn"]
+
+NC, SRC = 0, 1       # side-axis convention
 
 
 class PairAnalysis(NamedTuple):
@@ -89,66 +99,79 @@ def _strip(y, n, cfg: AnalyzerConfig):
     return y2, end - start, start, n - end
 
 
-def _window_tempos(y, n, start_bpm, cfg: AnalyzerConfig):
-    """Per-window BPM + validity for one side (reference tempo.py:27-111)."""
-    mel = onset.mel_power_windows(y, cfg)                  # (slots, F, mels)
+def _gates(ys, ns, cfg: AnalyzerConfig):
+    """(2, slots) energy-gate masks."""
+    def one(y, n):
+        cs = energy.energy_cumsum(y)
+        edb, slot_valid = energy.window_energies_db(cs, n, cfg)
+        return energy.energy_gate_mask(edb, slot_valid, cfg.energy_gate_db)
+    return jax.vmap(one)(ys, ns)
+
+
+def _window_acfs(ys, cfg: AnalyzerConfig):
+    """Prior-independent windowed-tempo features for both sides at once.
+
+    Returns (envs (2, slots, F), acf (2, slots, win_length)).
+    """
     f_valid = onset.onset_frames_valid(jnp.asarray(cfg.win_samples), cfg.tempo_hop)
-    envs = onset.onset_envelope_from_mel(
-        mel, f_valid, cfg.tempo_n_fft, cfg.tempo_hop)      # (slots, F)
-
-    acf = jax.vmap(lambda e: tempogram.tempogram_mean_acf(
+    mel = jax.vmap(lambda y: onset.mel_power_windows(y, cfg))(ys)
+    envs = onset.onset_envelope_from_mel(mel, f_valid, cfg.tempo_n_fft,
+                                         cfg.tempo_hop)
+    acf_fn = lambda e: tempogram.tempogram_mean_acf(      # noqa: E731
         e, f_valid, win_length=cfg.tempogram_win_length,
-        stride=cfg.tempo_frame_stride, chunk=cfg.tg_frame_chunk))(envs)
-    bpms = jax.vmap(lambda a: tempogram.tempo_from_acf(
-        a, start_bpm, hop_length=cfg.tempo_hop, sr=cfg.sample_rate,
-        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo))(acf)
+        stride=cfg.tempo_frame_stride, chunk=cfg.tg_frame_chunk)
+    acf = jax.vmap(jax.vmap(acf_fn))(envs)
+    return envs, acf
 
-    track = jax.vmap(lambda e, b: beat.beat_track(
+
+def _window_beat_counts(envs, bpms, cfg: AnalyzerConfig):
+    """(2, slots) beat counts via the DP tracker (one stacked vmap)."""
+    f_valid = onset.onset_frames_valid(jnp.asarray(cfg.win_samples), cfg.tempo_hop)
+    track_fn = lambda e, b: beat.beat_track(      # noqa: E731
         e, f_valid, b, sr=cfg.sample_rate, hop_length=cfg.tempo_hop,
         tightness=cfg.tightness, search_window=cfg.dp_search_window,
         max_beats=cfg.max_beats_window,
-        bpm_min=cfg.dp_bpm_min, bpm_max=cfg.dp_bpm_max))(envs, bpms)
-
-    enough_beats = track.n_beats >= cfg.min_beats
-    cs = energy.energy_cumsum(y)
-    edb, slot_valid = energy.window_energies_db(cs, n, cfg)
-    gate = energy.energy_gate_mask(edb, slot_valid, cfg.energy_gate_db)
-    return bpms, gate & enough_beats, gate
+        bpm_min=cfg.dp_bpm_min, bpm_max=cfg.dp_bpm_max)
+    track = jax.vmap(jax.vmap(track_fn))(envs, bpms)
+    return track.n_beats
 
 
-def _global_ibis(y, n, start_bpm, cfg: AnalyzerConfig):
-    """Full-signal hop-64 IBI extraction (reference tempo.py:120-173)."""
-    mel = onset.mel_power_global(y, cfg)
-    n_frames = onset.onset_frames_valid(n, cfg.ibi_hop)
-    env = onset.onset_envelope_from_mel(mel, n_frames, cfg.tempo_n_fft, cfg.ibi_hop)
-    acf = tempogram.tempogram_mean_acf(
-        env, n_frames, win_length=cfg.ibi_tempogram_win_length,
-        stride=cfg.ibi_tempo_stride, chunk=cfg.tg_frame_chunk)
-    bpm = tempogram.tempo_from_acf(
-        acf, start_bpm, hop_length=cfg.ibi_hop, sr=cfg.sample_rate,
-        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo)
-    track = beat.beat_track(
-        env, n_frames, bpm, sr=cfg.sample_rate, hop_length=cfg.ibi_hop,
+def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
+    """Full-signal hop-64 IBI extraction, both sides stacked
+    (reference tempo.py:120-173)."""
+    n_frames = jax.vmap(lambda n: onset.onset_frames_valid(n, cfg.ibi_hop))(ns)
+    mel = jax.vmap(lambda y: onset.mel_power_global(y, cfg))(ys)
+    env = jax.vmap(lambda m, f: onset.onset_envelope_from_mel(
+        m, f, cfg.tempo_n_fft, cfg.ibi_hop))(mel, n_frames)
+    acf = jax.vmap(lambda e, f: tempogram.tempogram_mean_acf(
+        e, f, win_length=cfg.ibi_tempogram_win_length,
+        stride=cfg.ibi_tempo_stride, chunk=cfg.tg_frame_chunk))(env, n_frames)
+    bpm = jax.vmap(lambda a, b: tempogram.tempo_from_acf(
+        a, b, hop_length=cfg.ibi_hop, sr=cfg.sample_rate,
+        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo))(acf, start_bpms)
+    track = jax.vmap(lambda e, f, b: beat.beat_track(
+        e, f, b, sr=cfg.sample_rate, hop_length=cfg.ibi_hop,
         tightness=cfg.tightness, search_window=cfg.dp_search_window_ibi,
-        max_beats=cfg.max_beats, bpm_min=cfg.dp_bpm_min, bpm_max=cfg.dp_bpm_max)
-    ibis, mask = beat.beats_to_ibis(track.beats, track.n_beats,
-                                    sr=cfg.sample_rate, hop_length=cfg.ibi_hop,
-                                    glitch_sec=cfg.ibi_glitch_sec)
-    n_ibis = jnp.sum(mask)
+        max_beats=cfg.max_beats, bpm_min=cfg.dp_bpm_min,
+        bpm_max=cfg.dp_bpm_max))(env, n_frames, bpm)
+    ibis, mask = jax.vmap(lambda b, n: beat.beats_to_ibis(
+        b, n, sr=cfg.sample_rate, hop_length=cfg.ibi_hop,
+        glitch_sec=cfg.ibi_glitch_sec))(track.beats, track.n_beats)
+    n_ibis = jnp.sum(mask, axis=-1)
     valid = (track.n_beats >= cfg.ibi_min_ibis + 1) & (n_ibis >= cfg.ibi_min_ibis)
     return ibis, mask, n_ibis, valid
 
 
-def _pitch(nc, n_nc, src, n_src, cfg: AnalyzerConfig):
+def _pitch(ys, ns, cfg: AnalyzerConfig):
     """Chroma-xcorr pitch shift (reference pitch.py:100-173)."""
-    nc4 = resample.decimate_pow2(nc, 4)
-    src4 = resample.decimate_pow2(src, 4)
-    nc_chroma = chroma.chunk_chroma_means(nc, nc4, n_nc, cfg)
-    src_chroma = chroma.chunk_chroma_means(src, src4, n_src, cfg)
+    y4 = resample.decimate_pow2(ys, 4)
+    chromas = jax.vmap(lambda y, y4_, n: chroma.chunk_chroma_means(y, y4_, n, cfg)
+                       )(ys, y4, ns)                       # (2, max_chunks, 36)
 
-    n_chunks = jnp.minimum(n_src // cfg.chunk_samples, n_nc // cfg.chunk_samples)
-    n_eff = jnp.maximum(n_chunks, 1)                    # whole-file fallback
-    lags = chroma.cyclic_xcorr_lag(src_chroma, nc_chroma)   # (max_chunks,)
+    n_chunks = jnp.minimum(ns[SRC] // cfg.chunk_samples,
+                           ns[NC] // cfg.chunk_samples)
+    n_eff = jnp.maximum(n_chunks, 1)                       # whole-file fallback
+    lags = chroma.cyclic_xcorr_lag(chromas[SRC], chromas[NC])  # (max_chunks,)
     shifts = lags.astype(jnp.float32) / (cfg.chroma_bins_per_octave / 12.0)
     cmask = jnp.arange(cfg.max_chunks) < n_eff
 
@@ -186,6 +209,8 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
     ``auto_align``/``compute_pitch`` are trace-time flags (pipeline.py:31-33).
     """
     zero = jnp.asarray(0, jnp.int32)
+    n_nc = n_nc.astype(jnp.int32)
+    n_src = n_src.astype(jnp.int32)
 
     # ── 1b. silence strip (pipeline.py:93-104) ──────────────────────────────
     if cfg.strip_silence:
@@ -208,10 +233,13 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
     src = energy.roll_to_start(src, offset)
     n_src = n_src - offset
 
+    ys = jnp.stack([nc, src])                  # (2, max_samples)
+    ns = jnp.stack([n_nc, n_src])
+
     # ── 4. pitch (pipeline.py:149-158) ──────────────────────────────────────
     if compute_pitch:
         (pitch_shifts, cmask, n_chunks, p_point, p_lo, p_hi,
-         pr, pr_lo, pr_hi) = _pitch(nc, n_nc, src, n_src, cfg)
+         pr, pr_lo, pr_hi) = _pitch(ys, ns, cfg)
     else:
         pitch_shifts = jnp.zeros(cfg.max_chunks)
         cmask = jnp.zeros(cfg.max_chunks, bool)
@@ -219,19 +247,39 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
         p_point = p_lo = p_hi = jnp.asarray(0.0)
         pr = pr_lo = pr_hi = jnp.asarray(1.0)
 
+    # ── 2/3. windows + energy gate (pipeline.py:129-146) ────────────────────
+    gates = _gates(ys, ns, cfg)                # (2, slots)
+    all_gated = (jnp.sum(gates[NC]) == 0) | (jnp.sum(gates[SRC]) == 0)
+
     # ── 5. two-phase windowed tempo (pipeline.py:160-186) ───────────────────
-    src_tempos, src_tmask, src_gate = _window_tempos(
-        src, n_src, jnp.asarray(120.0), cfg)
-    src_median = masked_median(src_tempos, src_tmask)
+    envs, acf = _window_acfs(ys, cfg)          # prior-independent features
 
+    tempo_pick = lambda a, prior: tempogram.tempo_from_acf(  # noqa: E731
+        a, prior, hop_length=cfg.tempo_hop, sr=cfg.sample_rate,
+        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo)
+
+    src_bpms = jax.vmap(lambda a: tempo_pick(a, jnp.asarray(120.0)))(acf[SRC])
+
+    # provisional source validity for the prior: gate only (beat counts come
+    # from the stacked DP below; the reference uses all gated windows'
+    # estimates — tempo.py:100-111 filters None *after* the prior is formed
+    # from valid source BPMs, pipeline.py:176-183)
     dur_ratio = n_src.astype(jnp.float32) / jnp.maximum(n_nc, 1)
-    have_prior = (jnp.sum(src_tmask) > 0) & (n_nc > 0) & (n_src > 0)
-    nc_start_bpm = jnp.where(have_prior, src_median * dur_ratio, 120.0)
+    src_median_prior = masked_median(src_bpms, gates[SRC])
+    have_prior = (jnp.sum(gates[SRC]) > 0) & (n_nc > 0) & (n_src > 0)
+    nc_start_bpm = jnp.where(have_prior, src_median_prior * dur_ratio, 120.0)
 
-    nc_tempos, nc_tmask, nc_gate = _window_tempos(nc, n_nc, nc_start_bpm, cfg)
+    nc_bpms = jax.vmap(lambda a: tempo_pick(a, nc_start_bpm))(acf[NC])
+
+    bpms = jnp.stack([nc_bpms, src_bpms])      # (2, slots)
+    n_beats = _window_beat_counts(envs, bpms, cfg)
+    tmask = gates & (n_beats >= cfg.min_beats)
+
+    src_tempos, src_tmask = bpms[SRC], tmask[SRC]
+    nc_tempos, nc_tmask = bpms[NC], tmask[NC]
+    src_median = masked_median(src_tempos, src_tmask)
     nc_median = masked_median(nc_tempos, nc_tmask)
 
-    all_gated = (jnp.sum(nc_gate) == 0) | (jnp.sum(src_gate) == 0)
     tempo_insufficient = (jnp.sum(src_tmask) < cfg.min_valid) | \
         (jnp.sum(nc_tmask) < cfg.min_valid)
 
@@ -240,15 +288,13 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
         n_boot=cfg.n_bootstrap, ci=cfg.ci_level)
 
     # ── 7. IBI pass (pipeline.py:198-213) ───────────────────────────────────
-    src_ibis, src_imask, n_src_ibis, src_ivalid = _global_ibis(
-        src, n_src, jnp.asarray(120.0), cfg)
-    nc_ibis, nc_imask, n_nc_ibis, nc_ivalid = _global_ibis(
-        nc, n_nc, nc_start_bpm, cfg)
+    ibis, imask, n_ibis, ivalid = _global_ibis(
+        ys, ns, jnp.stack([nc_start_bpm, jnp.asarray(120.0)]), cfg)
     # ratio = median(src)/median(nc)  (consensus.py:270-312)
     ibi_ratio, i_lo, i_hi = stats.bootstrap_ratio_ci(
-        jax.random.PRNGKey(42), src_ibis, src_imask, nc_ibis, nc_imask,
+        jax.random.PRNGKey(42), ibis[SRC], imask[SRC], ibis[NC], imask[NC],
         n_boot=cfg.n_bootstrap, ci=cfg.ci_level)
-    ibi_valid = src_ivalid & nc_ivalid & (n_src_ibis >= 4) & (n_nc_ibis >= 4)
+    ibi_valid = ivalid[SRC] & ivalid[NC] & (n_ibis[SRC] >= 4) & (n_ibis[NC] >= 4)
 
     return PairAnalysis(
         nc_len=n_nc, src_len=n_src,
@@ -257,8 +303,8 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
         intro_offset=offset, align_speed=align_speed,
         src_tempos=src_tempos, src_tempo_mask=src_tmask,
         nc_tempos=nc_tempos, nc_tempo_mask=nc_tmask,
-        n_src_windows=jnp.sum(src_gate), n_nc_windows=jnp.sum(nc_gate),
-        src_gate=src_gate, nc_gate=nc_gate,
+        n_src_windows=jnp.sum(gates[SRC]), n_nc_windows=jnp.sum(gates[NC]),
+        src_gate=gates[SRC], nc_gate=gates[NC],
         all_gated=all_gated,
         src_median_bpm=src_median, nc_median_bpm=nc_median,
         nc_start_bpm=nc_start_bpm,
@@ -269,7 +315,7 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
         pitch_point_st=p_point, pitch_st_lo=p_lo, pitch_st_hi=p_hi,
         pitch_ratio=pr, pitch_lo=pr_lo, pitch_hi=pr_hi,
         ibi_ratio=ibi_ratio, ibi_lo=i_lo, ibi_hi=i_hi, ibi_valid=ibi_valid,
-        n_src_ibis=n_src_ibis, n_nc_ibis=n_nc_ibis,
+        n_src_ibis=n_ibis[SRC], n_nc_ibis=n_ibis[NC],
     )
 
 

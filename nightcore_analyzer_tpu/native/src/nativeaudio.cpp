@@ -561,9 +561,9 @@ int resample(const float* in, long n_in, int sr_in, int sr_out,
   if (sr_in == sr_out) { out->assign(in, in + n_in); return 0; }
   long g = gcd_l(sr_in, sr_out);
   long L = sr_out / g, M = sr_in / g;
-  const int HALF = 32;                 // taps per side (per output sample)
+  const int HALF = 64;                 // taps per side (per output sample)
   const int TAPS = 2 * HALF;
-  double cutoff = 0.9475 * std::min(1.0, (double)L / (double)M);
+  double cutoff = 0.97 * std::min(1.0, (double)L / (double)M);
   const double beta = 12.0;
   double i0b = bessel_i0(beta);
   long n_out = (long)(((__int128)n_in * L + M - 1) / M);

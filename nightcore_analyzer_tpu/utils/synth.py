@@ -39,7 +39,8 @@ def click_track(bpm: float, duration: float, sr: int = 22050,
 
 
 def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
-               root_hz: float = 220.0, seed: int = 0) -> np.ndarray:
+               root_hz: float = 220.0, seed: int = 0,
+               chord_bars: float = 2.0) -> np.ndarray:
     """Music-like signal: chord pad (root + harmonics over a small chord
     progression) amplitude-pulsed on the beat, plus percussive clicks and a
     bass line.  Has enough spectral flux for onset/beat tracking and enough
@@ -48,10 +49,10 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
     n = int(duration * sr)
     t = np.arange(n) / sr
 
-    # chord progression: I - vi - IV - V (semitone offsets), 2 bars each
+    # chord progression: I - vi - IV - V (semitone offsets), chord_bars each
     prog = [0, -3, 5, 7]
     bar_sec = 4 * 60.0 / bpm
-    seg = 2 * bar_sec
+    seg = chord_bars * bar_sec
     chord_idx = np.minimum((t / seg).astype(np.int64) % len(prog), len(prog) - 1)
 
     y = np.zeros(n, np.float64)

@@ -1,0 +1,109 @@
+"""Host consensus logic: classification, rubberband, sanity rules, half-time
+flip, list-based build_result (reference consensus.py semantics)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from nightcore_analyzer_tpu.analyze.consensus import (
+    classify, rubberband_params, sanity_warnings, build_result,
+    compute_ibi_ratio)
+
+
+def test_classify_pure_nightcore():
+    assert classify(1.25, 1.25, (1.24, 1.26), (1.24, 1.26)) == "pure_nightcore"
+    # within tolerance
+    assert classify(1.25, 1.26, (1.24, 1.26), (1.25, 1.27)) == "pure_nightcore"
+
+
+def test_classify_independent_pitch_shift():
+    assert classify(1.25, 1.35, (1.249, 1.251), (1.349, 1.351)) == \
+        "independent_pitch_shift"
+
+
+def test_classify_time_stretch_only():
+    assert classify(1.25, 1.0, (1.249, 1.251), (0.999, 1.001)) == \
+        "time_stretch_only"
+
+
+def test_classify_ambiguous():
+    # tempo below 1+tol with pitch lower → ambiguous branch
+    assert classify(1.01, 0.95, (1.009, 1.011), (0.949, 0.951)) == "ambiguous"
+
+
+def test_rubberband_params_roundtrip():
+    rb = rubberband_params(1.25, 1.25, nc_duration=80.0, src_duration=100.0)
+    assert rb["time_ratio"] == 1.25
+    assert rb["pitch_semitones"] == pytest.approx(-12 * math.log2(1.25), abs=1e-3)
+    assert rb["nc_to_source_speed"] == pytest.approx(0.8, abs=1e-6)
+    assert "rubberband --time 1.250000" in rb["cli_command"]
+    assert rb["duration_time_ratio"] == 1.25
+    assert "duration_cli_command" in rb
+
+
+def test_sanity_same_duration_warning():
+    w = sanity_warnings(1.0, 1.0, (0.99, 1.01), (0.99, 1.01), 100.0, 100.5, False)
+    assert any("same duration" in x for x in w)
+
+
+def test_sanity_duration_tempo_mismatch():
+    w = sanity_warnings(1.10, 1.10, (1.09, 1.11), (1.09, 1.11), 80.0, 100.0, False)
+    assert any("disagree" in x or "Duration ratio" in x for x in w)
+
+
+def test_sanity_halftime_correction_message():
+    w = sanity_warnings(1.25, 1.25, (1.24, 1.26), (1.24, 1.26), 80.0, 100.0, True)
+    assert any("half-time" in x.lower() for x in w)
+
+
+def test_sanity_wide_pitch_ci():
+    w = sanity_warnings(1.25, 1.2, (1.2, 1.3), (0.5, 3.5), 80.0, 100.0, False)
+    assert any("Pitch CI" in x for x in w)
+
+
+def test_build_result_halftime_flip():
+    # nc shorter (faster) but ratio < 1 → auto-invert
+    src_t = [100.0] * 6
+    nc_t = [80.0] * 6          # raw ratio 0.8 — half-time artefact
+    r = build_result([], [], src_t, nc_t, nc_duration=80.0, src_duration=100.0)
+    assert r.tempo_ratio == pytest.approx(1.25, rel=1e-6)
+    assert r.tempo_ci[0] <= r.tempo_ci[1]
+    assert any("half-time" in w.lower() for w in r.warnings)
+
+
+def test_build_result_insufficient_raises():
+    with pytest.raises(ValueError):
+        build_result([], [], [100.0, 101.0], [120.0] * 5)
+
+
+def test_build_result_pitch_degrades():
+    r = build_result([440.0], [466.0], [100.0] * 5, [125.0] * 5,
+                     nc_duration=80.0, src_duration=100.0)
+    assert r.pitch_ratio == 1.0
+    assert r.n_source_pitch_windows == 0
+
+
+def test_build_result_point_estimates():
+    rng = np.random.default_rng(7)
+    src_t = list(100.0 + rng.normal(scale=0.5, size=20))
+    nc_t = list(125.0 + rng.normal(scale=0.5, size=18))
+    r = build_result([440.0] * 6, [554.37] * 6, src_t, nc_t,
+                     nc_duration=80.0, src_duration=100.0)
+    assert r.tempo_ratio == pytest.approx(
+        np.median(nc_t) / np.median(src_t), rel=1e-6)
+    assert r.pitch_ratio == pytest.approx(554.37 / 440.0, rel=1e-6)
+    assert r.tempo_ci[0] < r.tempo_ratio < r.tempo_ci[1]
+    assert r.classification == "pure_nightcore"
+    assert str(r)  # pretty-printer renders
+
+
+def test_compute_ibi_ratio():
+    rng = np.random.default_rng(3)
+    src_ibis = 0.5 + rng.normal(scale=0.002, size=200)
+    nc_ibis = 0.4 + rng.normal(scale=0.002, size=190)
+    ratio, (lo, hi) = compute_ibi_ratio(nc_ibis, src_ibis)
+    assert ratio == pytest.approx(np.median(src_ibis) / np.median(nc_ibis),
+                                  rel=1e-6)
+    assert lo < ratio < hi
+    assert hi - lo < 0.01

@@ -1,0 +1,61 @@
+"""Multi-device corpus analysis on the virtual 8-device CPU mesh.
+
+Validates the production sharding path: pair axis sharded over the ``data``
+mesh axis, vmapped analysis, shard_map psum corpus report (SURVEY §2.3).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nightcore_analyzer_tpu.batch.corpus import CorpusAnalyzer
+from nightcore_analyzer_tpu.parallel.mesh import default_mesh
+from nightcore_analyzer_tpu.config import AnalyzerConfig
+from nightcore_analyzer_tpu.utils import synth
+
+TINY = AnalyzerConfig(
+    max_duration_sec=8.0, window_sec=2.0, hop_sec=1.0,
+    chunk_sec=2.5, n_bootstrap=64,
+    max_beats=256, max_beats_window=32,
+    frame_chunk=256, window_chunk=2,
+    min_beats=2, min_valid=2, ibi_min_ibis=2,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return default_mesh(jax.devices()[:8])
+
+
+def test_corpus_sharded_analysis(mesh):
+    analyzer = CorpusAnalyzer(TINY, mesh=mesh)
+    pairs = []
+    factors = []
+    for i in range(8):
+        f = 1.15 + 0.05 * (i % 3)
+        src = synth.music_like(6.5, 22050, bpm=170.0, seed=i)
+        pairs.append((synth.speed_shift(src, f), src))
+        factors.append(f)
+    results, stats = analyzer.analyze_pairs(pairs)
+
+    assert int(np.asarray(stats.n_pairs)) == 8
+    assert int(np.asarray(stats.n_ok)) >= 6
+    for r, f in zip(results, factors):
+        if isinstance(r, str):
+            continue
+        assert r.tempo_ratio == pytest.approx(f, rel=0.08)
+
+    mean_t = float(np.asarray(stats.mean_tempo_ratio))
+    ok = [r.tempo_ratio for r in results if not isinstance(r, str)]
+    assert mean_t == pytest.approx(np.mean(ok), rel=1e-5)
+
+
+def test_corpus_pads_to_mesh_multiple(mesh):
+    analyzer = CorpusAnalyzer(TINY, mesh=mesh)
+    src = synth.music_like(6.0, 22050, bpm=170.0, seed=42)
+    pairs = [(synth.speed_shift(src, 1.2), src)] * 3   # 3 pairs on 8 devices
+    results, stats = analyzer.analyze_pairs(pairs)
+    assert len(results) == 3
+    assert int(np.asarray(stats.n_pairs)) == 3         # mask excludes padding

@@ -1,0 +1,129 @@
+"""End-to-end behavior of the device analysis program at toy scale.
+
+Runs on the CPU backend with a small config (short windows, few bootstrap
+resamples) so compile stays fast; full-scale precision is exercised by
+``bench.py`` on TPU hardware.  Oracle = synthetic pairs with known speed
+factors (SURVEY §4).
+"""
+
+import numpy as np
+import pytest
+
+from nightcore_analyzer_tpu.config import AnalyzerConfig
+from nightcore_analyzer_tpu.analyze.pipeline import analyze_arrays
+from nightcore_analyzer_tpu.utils import synth
+
+# toy-scale config: 3 s windows / 1.5 s hop, 5 s pitch chunks
+TINY = AnalyzerConfig(
+    max_duration_sec=30.0, window_sec=3.0, hop_sec=1.5,
+    chunk_sec=5.0, n_bootstrap=128,
+    max_beats=512, max_beats_window=32,
+    frame_chunk=256, window_chunk=4,
+    min_beats=3, ibi_min_ibis=3,
+)
+
+# 16/13 sits exactly on the windowed-tempo ACF lag grid at 3 s windows
+# (src → lag 16, nc → lag 13), so the toy-scale classification isn't thrown
+# off by BPM-grid quantization (the same quantization the reference
+# documents in consensus.py:472-500).  The chroma grid then snaps the pitch
+# ratio to the nearest 1/3 semitone: 12·log2(16/13)=3.589 st → lag 11.
+FACTOR = 16.0 / 13.0
+PITCH_EXPECT = 2.0 ** (11.0 / 36.0)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    src = synth.music_like(26.0, 22050, bpm=160.0, seed=3, chord_bars=0.5)
+    nc = synth.speed_shift(src, FACTOR)
+    return nc, src
+
+
+@pytest.fixture(scope="module")
+def analyzed(pair):
+    nc, src = pair
+    # patch bucket selection to our toy bucket by passing cfg directly
+    res, pa = analyze_arrays(nc, src, TINY)
+    return res, pa
+
+
+def test_tempo_ratio_recovered(analyzed):
+    res, _ = analyzed
+    assert res.tempo_ratio == pytest.approx(FACTOR, rel=0.03)
+
+
+def test_ibi_ratio_recovered(analyzed):
+    res, _ = analyzed
+    assert res.ibi_ratio is not None
+    assert res.ibi_ratio == pytest.approx(FACTOR, rel=0.01)
+    lo, hi = res.ibi_ci
+    assert lo <= res.ibi_ratio <= hi
+
+
+def test_pitch_ratio_recovered(analyzed):
+    res, _ = analyzed
+    assert res.n_source_pitch_windows >= 3
+    assert res.pitch_ratio == pytest.approx(PITCH_EXPECT, rel=0.002)
+
+
+def test_classification_pure_nightcore(analyzed):
+    res, _ = analyzed
+    assert res.classification == "pure_nightcore"
+
+
+def test_rubberband_and_export(analyzed):
+    from nightcore_analyzer_tpu import export
+    res, _ = analyzed
+    assert res.rubberband["time_ratio"] == pytest.approx(res.tempo_ratio, abs=1e-6)
+    d = export.to_dict(res)
+    assert d["classification"] == "pure_nightcore"
+    assert d["durations"]["duration_ratio"] == pytest.approx(FACTOR, rel=0.01)
+    import json
+    json.dumps(d)   # serializable
+
+
+def test_raw_window_data_for_histograms(analyzed):
+    res, _ = analyzed
+    assert res.src_tempos_raw and res.nc_tempos_raw
+    vals = [t for t in res.src_tempos_raw if t is not None]
+    assert vals and all(100 < t < 320 for t in vals)
+    assert len(res.nc_pitches_raw) == res.n_nc_pitch_windows
+
+
+def test_str_renders(analyzed):
+    res, _ = analyzed
+    s = str(res)
+    assert "Tempo ratio" in s and "Rubber Band" in s
+
+
+def test_silence_strip_applied():
+    src = synth.music_like(12.0, 22050, bpm=160.0, seed=5)
+    pad = np.zeros(22050 * 2, np.float32)
+    res, pa = analyze_arrays(np.concatenate([pad, src / 1.0, pad]),
+                             np.concatenate([pad, src, pad]), TINY)
+    # both sides trimmed back to ~12 s
+    assert res.nc_duration == pytest.approx(12.0, abs=0.3)
+    assert res.src_duration == pytest.approx(12.0, abs=0.3)
+
+
+def test_src_trim_sec():
+    src = synth.music_like(20.0, 22050, bpm=160.0, seed=6)
+    nc = synth.speed_shift(src[22050 * 4:], FACTOR)   # nc lacks 4 s intro
+    cfg = TINY.replace(strip_silence=False)
+    res, pa = analyze_arrays(nc, src, cfg, src_trim_sec=4.0)
+    assert res.intro_offset_sec == pytest.approx(4.0, abs=0.05)
+    assert res.ibi_ratio == pytest.approx(FACTOR, rel=0.01)
+
+
+def test_all_gated_raises():
+    quiet = np.zeros(22050 * 10, np.float32)
+    with pytest.raises((RuntimeError, ValueError)):
+        analyze_arrays(quiet, quiet, TINY)
+
+
+def test_halftime_flip_device_path():
+    """If the windowed estimator half-times the nightcore, the host consensus
+    inverts the ratio (consensus.py:563-576).  Construct directly."""
+    from nightcore_analyzer_tpu.analyze.consensus import build_result
+    r = build_result([], [], [128.0] * 8, [104.0] * 8,
+                     nc_duration=60.0, src_duration=75.0)
+    assert r.tempo_ratio > 1.0
