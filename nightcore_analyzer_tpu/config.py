@@ -112,9 +112,9 @@ class AnalyzerConfig:
 
     # ── memory chunking knobs (device-program internal; no semantic effect) ──
     window_chunk: int = 4                   # analysis windows processed per scan step
-    frame_chunk: int = 512                  # STFT frames per scan step (hop-64 pass)
+    frame_chunk: int = 1024                  # STFT frames per scan step (hop-64 pass)
     tg_frame_chunk: int = 64                # tempogram columns per scan step
-    chroma_frame_chunk: int = 128           # chroma frames per scan step
+    chroma_frame_chunk: int = 256           # chroma frames per scan step
 
     # ── derived sizes ────────────────────────────────────────────────────────
     @cached_property

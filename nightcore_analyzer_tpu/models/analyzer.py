@@ -21,9 +21,13 @@ Architecture notes:
   ``where``-selects; strings/warnings live on the host (``analyze.consensus``)
   consuming the returned scalar flags — the same numbers/prose split as the
   reference's consensus layer.
-* ``analyze_pair`` is written for one pair; ``batch.corpus`` vmaps it over
-  the pair axis and shards that axis across the TPU mesh (SURVEY §2.3's
-  parallelism map).
+* The core is **batch-first**: ``analyze_batch`` takes a (B, max_samples)
+  corpus slab so the sequential beat-DP stages flatten every (pair, side
+  [, window]) lane into ONE Pallas kernel launch — an outer ``vmap`` would
+  instead dispatch a 128-lane kernel per pair at 2-lane occupancy.
+  ``analyze_pair`` is the batch-of-one convenience wrapper; ``batch.corpus``
+  shards the pair axis of ``analyze_batch`` across the TPU mesh
+  (SURVEY §2.3's parallelism map).
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ from ..config import AnalyzerConfig
 from ..ops import onset, tempogram, beat, chroma, energy, resample, stats, align
 from ..ops.stats import masked_median
 
-__all__ = ["PairAnalysis", "analyze_pair", "build_analyze_fn"]
+__all__ = ["PairAnalysis", "analyze_pair", "analyze_batch", "build_analyze_fn"]
 
 NC, SRC = 0, 1       # side-axis convention
 
@@ -125,22 +129,26 @@ def _window_acfs(ys, cfg: AnalyzerConfig):
 
 
 def _window_beat_counts(envs, bpms, cfg: AnalyzerConfig):
-    """(2, slots) beat counts via the DP tracker (one stacked vmap)."""
+    """(2, slots) beat counts via the batched DP tracker (Pallas on TPU)."""
     f_valid = onset.onset_frames_valid(jnp.asarray(cfg.win_samples), cfg.tempo_hop)
-    track_fn = lambda e, b: beat.beat_track(      # noqa: E731
-        e, f_valid, b, sr=cfg.sample_rate, hop_length=cfg.tempo_hop,
+    track = beat.beat_track_batch(
+        envs, f_valid, bpms, sr=cfg.sample_rate, hop_length=cfg.tempo_hop,
         tightness=cfg.tightness, search_window=cfg.dp_search_window,
         max_beats=cfg.max_beats_window,
         bpm_min=cfg.dp_bpm_min, bpm_max=cfg.dp_bpm_max)
-    track = jax.vmap(jax.vmap(track_fn))(envs, bpms)
     return track.n_beats
 
 
 def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
-    """Full-signal hop-64 IBI extraction, both sides stacked
-    (reference tempo.py:120-173)."""
-    n_frames = jax.vmap(lambda n: onset.onset_frames_valid(n, cfg.ibi_hop))(ns)
-    mel = jax.vmap(lambda y: onset.mel_power_global(y, cfg))(ys)
+    """Full-signal hop-64 IBI extraction over arbitrary leading dims
+    (reference tempo.py:120-173).  ``ys``: (..., max_samples)."""
+    lead = ys.shape[:-1]
+    ys_f = ys.reshape((-1, ys.shape[-1]))
+    ns_f = ns.reshape(-1)
+    bpm0_f = start_bpms.reshape(-1)
+
+    n_frames = jax.vmap(lambda n: onset.onset_frames_valid(n, cfg.ibi_hop))(ns_f)
+    mel = jax.vmap(lambda y: onset.mel_power_global(y, cfg))(ys_f)
     env = jax.vmap(lambda m, f: onset.onset_envelope_from_mel(
         m, f, cfg.tempo_n_fft, cfg.ibi_hop))(mel, n_frames)
     acf = jax.vmap(lambda e, f: tempogram.tempogram_mean_acf(
@@ -148,18 +156,19 @@ def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
         stride=cfg.ibi_tempo_stride, chunk=cfg.tg_frame_chunk))(env, n_frames)
     bpm = jax.vmap(lambda a, b: tempogram.tempo_from_acf(
         a, b, hop_length=cfg.ibi_hop, sr=cfg.sample_rate,
-        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo))(acf, start_bpms)
-    track = jax.vmap(lambda e, f, b: beat.beat_track(
-        e, f, b, sr=cfg.sample_rate, hop_length=cfg.ibi_hop,
+        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo))(acf, bpm0_f)
+    track = beat.beat_track_batch(
+        env, n_frames, bpm, sr=cfg.sample_rate, hop_length=cfg.ibi_hop,
         tightness=cfg.tightness, search_window=cfg.dp_search_window_ibi,
         max_beats=cfg.max_beats, bpm_min=cfg.dp_bpm_min,
-        bpm_max=cfg.dp_bpm_max))(env, n_frames, bpm)
+        bpm_max=cfg.dp_bpm_max)
     ibis, mask = jax.vmap(lambda b, n: beat.beats_to_ibis(
         b, n, sr=cfg.sample_rate, hop_length=cfg.ibi_hop,
         glitch_sec=cfg.ibi_glitch_sec))(track.beats, track.n_beats)
     n_ibis = jnp.sum(mask, axis=-1)
     valid = (track.n_beats >= cfg.ibi_min_ibis + 1) & (n_ibis >= cfg.ibi_min_ibis)
-    return ibis, mask, n_ibis, valid
+    rs = lambda x: x.reshape(lead + x.shape[1:])
+    return rs(ibis), rs(mask), rs(n_ibis), rs(valid)
 
 
 def _pitch(ys, ns, cfg: AnalyzerConfig):
@@ -196,105 +205,117 @@ def _pitch(ys, ns, cfg: AnalyzerConfig):
     return shifts, cmask, n_eff, point, st_lo, st_hi, ratio, lo, hi
 
 
-def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
-                 src: jnp.ndarray, n_src: jnp.ndarray,
-                 src_trim: jnp.ndarray, cfg: AnalyzerConfig,
-                 *, auto_align: bool = False,
-                 compute_pitch: bool = True) -> PairAnalysis:
-    """Device analysis of one (nightcore, source) pair.
+def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
+                  src: jnp.ndarray, n_src: jnp.ndarray,
+                  src_trim: jnp.ndarray, cfg: AnalyzerConfig,
+                  *, auto_align: bool = False,
+                  compute_pitch: bool = True) -> PairAnalysis:
+    """Batched device analysis of B (nightcore, source) pairs.
 
-    ``nc``/``src``: (cfg.max_samples,) mono 22.05 kHz float32, zero-padded;
-    ``n_nc``/``n_src``: valid sample counts; ``src_trim``: samples to drop
-    from the source head (manual intro trim, reference pipeline.py:106-110).
-    ``auto_align``/``compute_pitch`` are trace-time flags (pipeline.py:31-33).
+    ``nc``/``src``: (B, cfg.max_samples) mono 22.05 kHz float32, zero-padded;
+    ``n_nc``/``n_src``/``src_trim``: (B,) sample counts / manual source-head
+    trims (pipeline.py:106-110).  ``auto_align``/``compute_pitch`` are
+    trace-time flags (pipeline.py:31-33).  Returns a ``PairAnalysis`` whose
+    every leaf has leading dim B.
+
+    Batch-first on purpose: the beat-DP stages flatten (B, 2[, slots]) into
+    the lane axis of a single Pallas launch.
     """
-    zero = jnp.asarray(0, jnp.int32)
+    B = nc.shape[0]
+    zeros_b = jnp.zeros(B, jnp.int32)
     n_nc = n_nc.astype(jnp.int32)
     n_src = n_src.astype(jnp.int32)
 
     # ── 1b. silence strip (pipeline.py:93-104) ──────────────────────────────
     if cfg.strip_silence:
-        nc, n_nc, nc_lead, nc_trail = _strip(nc, n_nc, cfg)
-        src, n_src, src_lead, src_trail = _strip(src, n_src, cfg)
+        nc, n_nc, nc_lead, nc_trail = jax.vmap(
+            lambda y, n: _strip(y, n, cfg))(nc, n_nc)
+        src, n_src, src_lead, src_trail = jax.vmap(
+            lambda y, n: _strip(y, n, cfg))(src, n_src)
     else:
-        nc_lead = nc_trail = src_lead = src_trail = zero
+        nc_lead = nc_trail = src_lead = src_trail = zeros_b
 
     # ── 1c. source trim: manual overrides auto (pipeline.py:106-127) ────────
     src_trim = jnp.clip(src_trim, 0, n_src)
-    align_speed = jnp.asarray(1.0)
+    align_speed = jnp.ones(B)
     if auto_align:
-        raw_off, align_speed = align.find_content_offset(src, nc, n_src, n_nc, cfg)
+        raw_off, align_speed = jax.vmap(
+            lambda s, m, ns_, nn_: align.find_content_offset(s, m, ns_, nn_, cfg)
+        )(src, nc, n_src, n_nc)
         auto_samples = jnp.where(
             raw_off >= cfg.align_min_offset,
             (raw_off * cfg.sample_rate).astype(jnp.int32), 0)
         offset = jnp.where(src_trim > 0, src_trim, auto_samples)
     else:
         offset = src_trim
-    src = energy.roll_to_start(src, offset)
+    src = jax.vmap(energy.roll_to_start)(src, offset)
     n_src = n_src - offset
 
-    ys = jnp.stack([nc, src])                  # (2, max_samples)
-    ns = jnp.stack([n_nc, n_src])
+    ys = jnp.stack([nc, src], axis=1)           # (B, 2, max_samples)
+    ns = jnp.stack([n_nc, n_src], axis=1)       # (B, 2)
 
     # ── 4. pitch (pipeline.py:149-158) ──────────────────────────────────────
     if compute_pitch:
         (pitch_shifts, cmask, n_chunks, p_point, p_lo, p_hi,
-         pr, pr_lo, pr_hi) = _pitch(ys, ns, cfg)
+         pr, pr_lo, pr_hi) = jax.vmap(
+            lambda y, n: _pitch(y, n, cfg))(ys, ns)
     else:
-        pitch_shifts = jnp.zeros(cfg.max_chunks)
-        cmask = jnp.zeros(cfg.max_chunks, bool)
-        n_chunks = zero
-        p_point = p_lo = p_hi = jnp.asarray(0.0)
-        pr = pr_lo = pr_hi = jnp.asarray(1.0)
+        pitch_shifts = jnp.zeros((B, cfg.max_chunks))
+        cmask = jnp.zeros((B, cfg.max_chunks), bool)
+        n_chunks = zeros_b
+        p_point = p_lo = p_hi = jnp.zeros(B)
+        pr = pr_lo = pr_hi = jnp.ones(B)
 
     # ── 2/3. windows + energy gate (pipeline.py:129-146) ────────────────────
-    gates = _gates(ys, ns, cfg)                # (2, slots)
-    all_gated = (jnp.sum(gates[NC]) == 0) | (jnp.sum(gates[SRC]) == 0)
+    gates = jax.vmap(lambda y, n: _gates(y, n, cfg))(ys, ns)   # (B, 2, slots)
+    all_gated = (jnp.sum(gates[:, NC], -1) == 0) | \
+        (jnp.sum(gates[:, SRC], -1) == 0)
 
     # ── 5. two-phase windowed tempo (pipeline.py:160-186) ───────────────────
-    envs, acf = _window_acfs(ys, cfg)          # prior-independent features
+    envs, acf = jax.vmap(lambda y: _window_acfs(y, cfg))(ys)   # (B,2,slots,·)
 
     tempo_pick = lambda a, prior: tempogram.tempo_from_acf(  # noqa: E731
         a, prior, hop_length=cfg.tempo_hop, sr=cfg.sample_rate,
         std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo)
 
-    src_bpms = jax.vmap(lambda a: tempo_pick(a, jnp.asarray(120.0)))(acf[SRC])
+    src_bpms = jax.vmap(jax.vmap(
+        lambda a: tempo_pick(a, jnp.asarray(120.0))))(acf[:, SRC])
 
-    # provisional source validity for the prior: gate only (beat counts come
-    # from the stacked DP below; the reference uses all gated windows'
-    # estimates — tempo.py:100-111 filters None *after* the prior is formed
-    # from valid source BPMs, pipeline.py:176-183)
+    # provisional source validity for the prior: gate only (the reference
+    # forms the nightcore prior from valid source BPMs, pipeline.py:176-183)
     dur_ratio = n_src.astype(jnp.float32) / jnp.maximum(n_nc, 1)
-    src_median_prior = masked_median(src_bpms, gates[SRC])
-    have_prior = (jnp.sum(gates[SRC]) > 0) & (n_nc > 0) & (n_src > 0)
+    src_median_prior = masked_median(src_bpms, gates[:, SRC])
+    have_prior = (jnp.sum(gates[:, SRC], -1) > 0) & (n_nc > 0) & (n_src > 0)
     nc_start_bpm = jnp.where(have_prior, src_median_prior * dur_ratio, 120.0)
 
-    nc_bpms = jax.vmap(lambda a: tempo_pick(a, nc_start_bpm))(acf[NC])
+    nc_bpms = jax.vmap(lambda a, p: jax.vmap(
+        lambda aa: tempo_pick(aa, p))(a))(acf[:, NC], nc_start_bpm)
 
-    bpms = jnp.stack([nc_bpms, src_bpms])      # (2, slots)
-    n_beats = _window_beat_counts(envs, bpms, cfg)
+    bpms = jnp.stack([nc_bpms, src_bpms], axis=1)   # (B, 2, slots)
+    n_beats = _window_beat_counts(envs, bpms, cfg)  # ONE Pallas launch
     tmask = gates & (n_beats >= cfg.min_beats)
 
-    src_tempos, src_tmask = bpms[SRC], tmask[SRC]
-    nc_tempos, nc_tmask = bpms[NC], tmask[NC]
+    src_tempos, src_tmask = bpms[:, SRC], tmask[:, SRC]
+    nc_tempos, nc_tmask = bpms[:, NC], tmask[:, NC]
     src_median = masked_median(src_tempos, src_tmask)
     nc_median = masked_median(nc_tempos, nc_tmask)
 
-    tempo_insufficient = (jnp.sum(src_tmask) < cfg.min_valid) | \
-        (jnp.sum(nc_tmask) < cfg.min_valid)
+    tempo_insufficient = (jnp.sum(src_tmask, -1) < cfg.min_valid) | \
+        (jnp.sum(nc_tmask, -1) < cfg.min_valid)
 
-    tempo_ratio, t_lo, t_hi = stats.bootstrap_ratio_ci(
-        jax.random.PRNGKey(42), nc_tempos, nc_tmask, src_tempos, src_tmask,
-        n_boot=cfg.n_bootstrap, ci=cfg.ci_level)
+    boot = jax.vmap(lambda nv, nm, sv, sm: stats.bootstrap_ratio_ci(
+        jax.random.PRNGKey(42), nv, nm, sv, sm,
+        n_boot=cfg.n_bootstrap, ci=cfg.ci_level))
+    tempo_ratio, t_lo, t_hi = boot(nc_tempos, nc_tmask, src_tempos, src_tmask)
 
     # ── 7. IBI pass (pipeline.py:198-213) ───────────────────────────────────
-    ibis, imask, n_ibis, ivalid = _global_ibis(
-        ys, ns, jnp.stack([nc_start_bpm, jnp.asarray(120.0)]), cfg)
+    start_bpms = jnp.stack([nc_start_bpm, jnp.full(B, 120.0)], axis=1)
+    ibis, imask, n_ibis, ivalid = _global_ibis(ys, ns, start_bpms, cfg)
     # ratio = median(src)/median(nc)  (consensus.py:270-312)
-    ibi_ratio, i_lo, i_hi = stats.bootstrap_ratio_ci(
-        jax.random.PRNGKey(42), ibis[SRC], imask[SRC], ibis[NC], imask[NC],
-        n_boot=cfg.n_bootstrap, ci=cfg.ci_level)
-    ibi_valid = ivalid[SRC] & ivalid[NC] & (n_ibis[SRC] >= 4) & (n_ibis[NC] >= 4)
+    ibi_ratio, i_lo, i_hi = boot(
+        ibis[:, SRC], imask[:, SRC], ibis[:, NC], imask[:, NC])
+    ibi_valid = (ivalid[:, SRC] & ivalid[:, NC] &
+                 (n_ibis[:, SRC] >= 4) & (n_ibis[:, NC] >= 4))
 
     return PairAnalysis(
         nc_len=n_nc, src_len=n_src,
@@ -303,8 +324,9 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
         intro_offset=offset, align_speed=align_speed,
         src_tempos=src_tempos, src_tempo_mask=src_tmask,
         nc_tempos=nc_tempos, nc_tempo_mask=nc_tmask,
-        n_src_windows=jnp.sum(gates[SRC]), n_nc_windows=jnp.sum(gates[NC]),
-        src_gate=gates[SRC], nc_gate=gates[NC],
+        n_src_windows=jnp.sum(gates[:, SRC], -1),
+        n_nc_windows=jnp.sum(gates[:, NC], -1),
+        src_gate=gates[:, SRC], nc_gate=gates[:, NC],
         all_gated=all_gated,
         src_median_bpm=src_median, nc_median_bpm=nc_median,
         nc_start_bpm=nc_start_bpm,
@@ -315,8 +337,22 @@ def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
         pitch_point_st=p_point, pitch_st_lo=p_lo, pitch_st_hi=p_hi,
         pitch_ratio=pr, pitch_lo=pr_lo, pitch_hi=pr_hi,
         ibi_ratio=ibi_ratio, ibi_lo=i_lo, ibi_hi=i_hi, ibi_valid=ibi_valid,
-        n_src_ibis=n_ibis[SRC], n_nc_ibis=n_ibis[NC],
+        n_src_ibis=n_ibis[:, SRC], n_nc_ibis=n_ibis[:, NC],
     )
+
+
+def analyze_pair(nc: jnp.ndarray, n_nc: jnp.ndarray,
+                 src: jnp.ndarray, n_src: jnp.ndarray,
+                 src_trim: jnp.ndarray, cfg: AnalyzerConfig,
+                 *, auto_align: bool = False,
+                 compute_pitch: bool = True) -> PairAnalysis:
+    """Single-pair analysis: batch-of-one wrapper over :func:`analyze_batch`
+    (same contract as the reference ``pipeline.run`` numeric core)."""
+    pa = analyze_batch(
+        nc[None], jnp.asarray(n_nc)[None], src[None], jnp.asarray(n_src)[None],
+        jnp.asarray(src_trim)[None], cfg,
+        auto_align=auto_align, compute_pitch=compute_pitch)
+    return jax.tree_util.tree_map(lambda x: x[0], pa)
 
 
 @lru_cache(maxsize=32)

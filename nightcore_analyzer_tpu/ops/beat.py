@@ -149,35 +149,95 @@ def _trim(localscore: jnp.ndarray, beats: jnp.ndarray, n: jnp.ndarray):
     return beats_c, jnp.sum(keep).astype(jnp.int32)
 
 
-def beat_track(env: jnp.ndarray, n_valid_frames: jnp.ndarray, bpm: jnp.ndarray, *,
-               sr: float, hop_length: int, tightness: float = 100.0,
-               search_window: int = 128, max_beats: int = 256,
-               bpm_min: float = 50.0, bpm_max: float = 400.0,
-               trim: bool = True) -> BeatTrackResult:
-    """Track beats on one onset envelope.  All inputs may be traced.
-
-    ``search_window`` must be ≥ ``2 * period(bpm_min)`` (see
-    ``AnalyzerConfig.dp_search_window``).
-    """
+def _localscore_for(env, n_valid_frames, bpm, *, sr, hop_length,
+                    search_window, bpm_min, bpm_max):
     F = env.shape[-1]
     valid = jnp.arange(F) < n_valid_frames
     envz = jnp.where(valid, env, 0.0)
     sd = masked_std(envz, valid, ddof=1)
     envn = jnp.where(valid, envz / jnp.maximum(sd, 1e-10), 0.0)
-
     bpm_c = jnp.clip(bpm, bpm_min, bpm_max)
     period = jnp.round(60.0 * sr / (hop_length * bpm_c))
-
     half = (search_window - 1) // 2
-    localscore = _local_score(envn, period, half)
-    localscore = jnp.where(valid, localscore, 0.0)
+    localscore = jnp.where(valid, _local_score(envn, period, half), 0.0)
+    return localscore, period
 
+
+def beat_track(env: jnp.ndarray, n_valid_frames: jnp.ndarray, bpm: jnp.ndarray, *,
+               sr: float, hop_length: int, tightness: float = 100.0,
+               search_window: int = 128, max_beats: int = 256,
+               bpm_min: float = 50.0, bpm_max: float = 400.0,
+               trim: bool = True) -> BeatTrackResult:
+    """Track beats on one onset envelope (lax.scan DP — reference semantics;
+    the batched production path is :func:`beat_track_batch`).
+
+    ``search_window`` must be ≥ ``2 * period(bpm_min)`` (see
+    ``AnalyzerConfig.dp_search_window``).
+    """
+    localscore, period = _localscore_for(
+        env, n_valid_frames, bpm, sr=sr, hop_length=hop_length,
+        search_window=search_window, bpm_min=bpm_min, bpm_max=bpm_max)
     cum, backlink = _dp(localscore, period, tightness, search_window)
     tail = _select_tail(cum, n_valid_frames)
     beats, n = _backtrace(backlink, tail, max_beats)
     if trim:
         beats, n = _trim(localscore, beats, n)
     return BeatTrackResult(beats=beats, n_beats=n, period=period)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def beat_track_batch(envs: jnp.ndarray, n_valid_frames: jnp.ndarray,
+                     bpms: jnp.ndarray, *, sr: float, hop_length: int,
+                     tightness: float = 100.0, search_window: int = 128,
+                     max_beats: int = 256, bpm_min: float = 50.0,
+                     bpm_max: float = 400.0, trim: bool = True
+                     ) -> BeatTrackResult:
+    """Batched beat tracking over arbitrary leading dims.
+
+    The forward DP runs as a single Pallas kernel with all lanes on the
+    TPU's vector lanes (``ops.pallas.beatdp``); everything around it
+    (local-score smoothing, tail selection, backtrace, trim) is vmapped XLA.
+    Non-TPU backends fall back to the vmapped lax.scan DP.
+    """
+    lead = envs.shape[:-1]
+    F = envs.shape[-1]
+    L = int(np.prod(lead)) if lead else 1
+    envs_f = envs.reshape(L, F)
+    nv_f = jnp.broadcast_to(n_valid_frames, lead).reshape(L)
+    bpm_f = jnp.broadcast_to(bpms, lead).reshape(L)
+
+    localscore, period = jax.vmap(lambda e, n, b: _localscore_for(
+        e, n, b, sr=sr, hop_length=hop_length, search_window=search_window,
+        bpm_min=bpm_min, bpm_max=bpm_max))(envs_f, nv_f, bpm_f)
+
+    if _use_pallas():
+        from .pallas.beatdp import dp_forward
+        weak = 0.01 * jnp.max(localscore, axis=-1)
+        cum, backlink = dp_forward(localscore, period, weak,
+                                   tightness=tightness, W=search_window)
+    else:
+        cum, backlink = jax.vmap(
+            lambda ls, p: _dp(ls, p, tightness, search_window)
+        )(localscore, period)
+
+    def post(ls, c, bl, nv):
+        tail = _select_tail(c, nv)
+        beats, n = _backtrace(bl, tail, max_beats)
+        if trim:
+            beats, n = _trim(ls, beats, n)
+        return beats, n
+
+    beats, n = jax.vmap(post)(localscore, cum, backlink, nv_f)
+    return BeatTrackResult(
+        beats=beats.reshape(lead + (max_beats,)),
+        n_beats=n.reshape(lead),
+        period=period.reshape(lead))
 
 
 def beats_to_ibis(beats: jnp.ndarray, n_beats: jnp.ndarray, *,

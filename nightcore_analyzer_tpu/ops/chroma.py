@@ -52,12 +52,16 @@ def _bases(cfg: AnalyzerConfig):
 
 def _cqt_mag(spec: jnp.ndarray, basis) -> jnp.ndarray:
     """|spec @ conj-kernelᵀ| for complex rfft frames.  (…, n_rfft) → (…, bins)."""
+    # bf16 MXU matmuls with f32 accumulation — the output only feeds a
+    # per-frame max-normalize + 36-lag argmax, far coarser than bf16 noise
     k_re, k_im = basis
-    xr, xi = jnp.real(spec), jnp.imag(spec)
-    re = jnp.matmul(xr, k_re, preferred_element_type=jnp.float32) - \
-        jnp.matmul(xi, k_im, preferred_element_type=jnp.float32)
-    im = jnp.matmul(xr, k_im, preferred_element_type=jnp.float32) + \
-        jnp.matmul(xi, k_re, preferred_element_type=jnp.float32)
+    bf = jnp.bfloat16
+    xr = jnp.real(spec).astype(bf)
+    xi = jnp.imag(spec).astype(bf)
+    re = jnp.matmul(xr, k_re.astype(bf), preferred_element_type=jnp.float32) - \
+        jnp.matmul(xi, k_im.astype(bf), preferred_element_type=jnp.float32)
+    im = jnp.matmul(xr, k_im.astype(bf), preferred_element_type=jnp.float32) + \
+        jnp.matmul(xi, k_re.astype(bf), preferred_element_type=jnp.float32)
     return jnp.sqrt(re * re + im * im + 1e-30)
 
 

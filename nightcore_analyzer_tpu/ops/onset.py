@@ -45,10 +45,16 @@ def onset_pad_width(n_fft: int, hop: int) -> int:
 
 def _stft_mel_power(seg_frames: jnp.ndarray, window: jnp.ndarray,
                     mel_T: jnp.ndarray) -> jnp.ndarray:
-    """frames (..., n, n_fft) -> mel power (..., n, n_mels)."""
+    """frames (..., n, n_fft) -> mel power (..., n, n_mels).
+
+    The mel fold runs on the MXU in bfloat16 (mel power only feeds a dB →
+    flux path; bf16's ~0.4% relative error is ~0.02 dB — far below musical
+    onset contrast), accumulating in f32.
+    """
     spec = jnp.fft.rfft(seg_frames * window, axis=-1)
     mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    return jnp.matmul(mag2, mel_T, preferred_element_type=jnp.float32)
+    return jnp.matmul(mag2.astype(jnp.bfloat16), mel_T.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
 
 
 def mel_power_windows(y: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
@@ -64,19 +70,21 @@ def mel_power_windows(y: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
     window = jnp.asarray(filters.hann(n_fft))
     mel_T = jnp.asarray(_mel_basis(cfg.sample_rate, n_fft, cfg.n_mels))
 
-    pad = n_fft // 2
-    ypad = jnp.pad(y, (pad, pad + win_n))   # tail slack for the last slot
-    # frame t of slot s covers ypad[s*hop_samples + t*hop : ... + n_fft]
-    local_idx = jnp.asarray(frame_indices(f_per_win, n_fft, hop))
-
     chunk = max(1, cfg.window_chunk)
     n_chunks = -(-n_slots // chunk)
+    pad = n_fft // 2
+    seg_len = (chunk - 1) * cfg.hop_samples + win_n + n_fft
+    ypad = jnp.pad(y, (pad, pad + seg_len))
+    # static frame index matrix relative to each chunk's segment start:
+    # frame t of chunk-local slot s starts at s*hop_samples + t*hop
+    local_idx = (np.arange(chunk)[:, None, None] * cfg.hop_samples +
+                 frame_indices(f_per_win, n_fft, hop)[None])
+    local_idx = jnp.asarray(local_idx)
 
     def body(_, c):
-        slot0 = c * chunk
-        starts = (slot0 + jnp.arange(chunk)) * cfg.hop_samples
-        idx = starts[:, None, None] + local_idx[None]          # (chunk, f, n_fft)
-        frames = jnp.take(ypad, idx, axis=0, mode="clip")
+        seg = jax.lax.dynamic_slice(ypad, (c * chunk * cfg.hop_samples,),
+                                    (seg_len,))
+        frames = jnp.take(seg, local_idx, axis=0)     # static-index gather
         return None, _stft_mel_power(frames, window, mel_T)
 
     _, mels = jax.lax.scan(body, None, jnp.arange(n_chunks))

@@ -28,23 +28,34 @@ def _hb(n_taps: int = 97) -> np.ndarray:
 def decimate2(y: jnp.ndarray) -> jnp.ndarray:
     """Anti-aliased 2× decimation along the last axis; output length ceil(N/2).
 
-    The half-band FIR is applied as a sum of statically shifted strided
-    slices — half the filter taps are zero by construction, XLA fuses the
-    whole thing into one vectorized pass, and (unlike ``lax.conv`` with a
-    ~100-tap kernel) it compiles quickly on every backend.
+    TPU-friendly polyphase form: the signal is reshaped into its even/odd
+    phases (contiguous loads, no strided slicing), and the half-band FIR —
+    whose even taps are all zero except the center by construction —
+    reduces to ``0.5·even[i] + Σ_m h[2m+1]·odd[i+m-H]``: ~48 statically
+    shifted contiguous adds on half-length arrays that XLA fuses into one
+    vectorized pass.  No ``lax.conv`` (compile-hostile for ~100-tap kernels
+    on some backends).
     """
     h = _hb()
-    half = (len(h) - 1) // 2
+    n_taps = len(h)
+    half = (n_taps - 1) // 2                     # 48 for the 97-tap design
     N = y.shape[-1]
     n_out = (N + 1) // 2
-    ypad = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(half, half + 2)])
-    out = None
-    for t, ht in enumerate(h):
-        if abs(float(ht)) < 1e-12:
+
+    lead = y.shape[:-1]
+    ypad = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, (-N) % 2)])
+    r = ypad.reshape(lead + (-1, 2))
+    xe, xo = r[..., 0], r[..., 1]                # x[2i], x[2i+1]
+
+    out = float(h[half]) * xe[..., :n_out]
+    # odd taps: t = 2m+1 → x[2(i+m-half/2)+1] = xo[i + m - half//2]
+    hw = half // 2                               # 24
+    xop = jnp.pad(xo, [(0, 0)] * (y.ndim - 1) + [(hw, hw + 2)])
+    for m in range(half):                        # taps t = 1, 3, … 95
+        ht = float(h[2 * m + 1])
+        if abs(ht) < 1e-12:
             continue
-        term = float(ht) * jax.lax.slice_in_dim(
-            ypad, t, t + 2 * n_out, stride=2, axis=-1)
-        out = term if out is None else out + term
+        out = out + ht * jax.lax.slice_in_dim(xop, m, m + n_out, axis=-1)
     return out
 
 

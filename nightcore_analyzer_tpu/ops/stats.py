@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "masked_median",
@@ -83,17 +84,47 @@ def bootstrap_medians(key: jax.Array, vals: jnp.ndarray, mask: jnp.ndarray,
     Each resample has size ``n_valid`` (matching numpy ``rng.choice(v, size=len(v))``
     in ``consensus.py:259-260``), realized with fixed shapes by drawing
     ``n_max`` indices and masking out columns ``>= n_valid``.
+
+    TPU formulation: sorting every resample is O(n_boot·n·log n) of
+    sort-network traffic; instead the *source* values are sorted once, the
+    draws become integer indices into that sorted array, and the median of a
+    resample is the value at the median *index* (monotone map).  The k-th
+    order statistic of the drawn indices is found by a vectorized binary
+    search over counts — pure compare/reduce work that the VPU eats.
     """
     n_max = vals.shape[-1]
     n_valid = jnp.sum(mask, axis=-1)
-    # compact valid entries to the front (stable argsort of ~mask)
-    order = jnp.argsort(~mask, axis=-1, stable=True)
-    compact = jnp.take_along_axis(vals, order, axis=-1)
+    # sorted valid entries first (invalid → +inf go last)
+    sorted_vals = jnp.sort(jnp.where(mask, vals, jnp.inf), axis=-1)
     u = jax.random.uniform(key, (n_boot, n_max))
-    idx = jnp.minimum((u * n_valid).astype(jnp.int32), jnp.maximum(n_valid - 1, 0))
-    draws = compact[idx]                                  # (n_boot, n_max)
-    col_mask = jnp.arange(n_max)[None, :] < n_valid
-    return masked_median(draws, col_mask)
+    idx = jnp.minimum((u * n_valid).astype(jnp.int32),
+                      jnp.maximum(n_valid - 1, 0))
+    # columns beyond the resample size never count
+    live = jnp.arange(n_max)[None, :] < n_valid
+    idx = jnp.where(live, idx, n_max + 1)
+
+    def kth_index(k):
+        """Per row: smallest j with #(idx <= j) >= k+1 (0-based k-th order
+        statistic of the drawn indices)."""
+        lo = jnp.zeros(n_boot, jnp.int32)
+        hi = jnp.full(n_boot, n_max - 1, jnp.int32)
+        bits = max(1, int(np.ceil(np.log2(max(n_max, 2)))))
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            cnt = jnp.sum(idx <= mid[:, None], axis=-1)
+            ge = cnt >= (k + 1)
+            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+        lo, hi = jax.lax.fori_loop(0, bits, body, (lo, hi))
+        return lo
+
+    k_lo = jnp.maximum(n_valid - 1, 0) // 2
+    k_hi = jnp.maximum(n_valid - 1, 0) - k_lo
+    j1 = kth_index(k_lo)
+    j2 = jnp.where(k_hi == k_lo, j1, kth_index(k_hi))
+    med = 0.5 * (jnp.take(sorted_vals, jnp.clip(j1, 0, n_max - 1)) +
+                 jnp.take(sorted_vals, jnp.clip(j2, 0, n_max - 1)))
+    return jnp.where(n_valid > 0, med, jnp.nan)
 
 
 def bootstrap_ratio_ci(key: jax.Array,

@@ -1,0 +1,705 @@
+"""Interactive terminal workflow (reference ``workflow.py``).
+
+Five modes plus exit (``workflow.py:986-994``):
+
+    [f] full suite   — speed compare → create HQNC → verification retry loop
+                       → pitch analysis + correction loop → spectral →
+                       loudness
+    [s] speed comparison (+ optional HQNC + optional spectral)
+    [p] standalone pitch analysis
+    [a] standalone spectral comparison
+    [l] loudness adjustment loop
+    [e] exit
+
+Artefact conventions match the reference: ``Song [Nightcore].flac`` for the
+first HQNC, ``… UPD<n>`` for corrected re-renders (``workflow.py:90-105``),
+``… PS<n>`` for pitch-corrected files (``workflow.py:134-140``), ``… ADJ<n>``
+for loudness passes.  Where the reference shells out to sox / rubberband /
+ffmpeg, this build prefers those binaries when installed and otherwise uses
+its first-party equivalents (:mod:`.effects`).
+
+Verification tolerances mirror ``workflow.py:160-163``: BPM ±2 %, IBI
+±0.5 %, xcorr quality gate 0.30, length-ratio warning 0.5 %.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .analyze import pipeline
+from . import loudness as lda
+from . import spectral as spec
+from .effects import create_speed_changed_file, create_pitch_shifted_file
+
+__all__ = ["main", "run_full_suite", "run_speed_comparison",
+           "run_pitch_analysis", "run_spectral_analysis",
+           "run_loudness_adjustment"]
+
+# ── tolerances (reference workflow.py:160-163) ───────────────────────────────
+NEAR_UNITY = 0.02            # |ratio − 1| below this → "essentially the same"
+PITCH_TEMPO_TOLERANCE = 0.02
+XCORR_QUALITY_GATE = 0.30
+LEN_RATIO_WARN = 0.005
+IBI_TOLERANCE = 0.005        # 0.5 % for IBI vs 2 % for BPM
+PITCH_SIGNIFICANT_ST = 0.5
+
+_LOSSLESS_EXTENSIONS = {"flac", "wav", "aiff", "aif"}
+
+
+# ── prompt helpers ───────────────────────────────────────────────────────────
+
+def _prompt_choice(question: str, options: str = "yne", default: str = "") -> str:
+    """Single-letter prompt; uppercase marks the default; 'e' exits."""
+    shown = "/".join(o.upper() if o == default else o for o in options)
+    while True:
+        raw = input(f"{question} [{shown}]: ").strip().lower()
+        if not raw and default:
+            raw = default
+        if raw and raw[0] in options:
+            if raw[0] == "e":
+                print("Exiting.")
+                sys.exit(0)
+            return raw[0]
+        print(f"  Please answer one of: {', '.join(options)}")
+
+
+def _prompt_file(label: str, existing: Optional[str] = None) -> Path:
+    """Prompt for a file path; strips drag-and-drop quotes."""
+    if existing:
+        p = Path(existing).expanduser()
+        if p.is_file():
+            print(f"Path to {label}: {p}")
+            return p
+    while True:
+        raw = input(f"Path to {label}: ").strip().strip("'\"")
+        p = Path(raw).expanduser()
+        if p.is_file():
+            return p
+        print(f"  File not found: {p}")
+
+
+def _hr(char: str = "─", width: int = 57) -> None:
+    print(char * width)
+
+
+# ── artefact paths (reference workflow.py:90-105,134-140) ────────────────────
+
+def _hqnc_path(hq: Path, version: int = 0) -> Path:
+    base = hq.with_name(f"{hq.stem} [Nightcore]{hq.suffix}")
+    if version == 0:
+        return base
+    return hq.with_name(f"{hq.stem} [Nightcore] UPD{version}{hq.suffix}")
+
+
+def _ps_path(src: Path, version: int) -> Path:
+    return src.with_name(f"{src.stem} PS{version}{src.suffix}")
+
+
+def _lossy_note(hq: Path) -> Optional[str]:
+    ext = hq.suffix.lstrip(".").lower()
+    if ext not in _LOSSLESS_EXTENSIONS:
+        return (f"  Note: HQ source is {ext.upper()} (lossy). The HQNC is "
+                f"written as {ext.upper()} too — transcoding a lossy source "
+                "into FLAC adds no quality.")
+    return None
+
+
+# ── pipeline wrapper + printers ──────────────────────────────────────────────
+
+def _run_pipeline(nightcore: Path, source: Path, step_label: str,
+                  src_trim_sec: float = 0.0, compute_pitch: bool = True):
+    print()
+    _hr()
+    print(f"  {step_label}")
+    _hr()
+    print(f"  Nightcore : {nightcore.name}")
+    print(f"  Source    : {source.name}")
+    print()
+    return pipeline.run(str(nightcore), str(source),
+                        src_trim_sec=src_trim_sec,
+                        compute_pitch=compute_pitch,
+                        log=lambda m: print(f"  {m}"))
+
+
+def _print_speed_result(result, hq: Path, ncog: Path) -> None:
+    tr, pr = result.tempo_ratio, result.pitch_ratio
+    print()
+    _hr("═")
+    print("  SPEED COMPARISON RESULTS")
+    _hr("═")
+    print(f"  Speed factor  : {tr:.6f}×  (windowed BPM ratio)")
+    if result.ibi_ratio is not None:
+        print(f"  IBI ratio     : {result.ibi_ratio:.6f}×  "
+              "(beat timestamps — higher precision)")
+    if result.n_source_pitch_windows > 0:
+        print(f"  Pitch ratio   : {pr:.6f}")
+    print(f"  Classification: {result.classification}")
+    if result.intro_offset_sec is not None:
+        print(f"  Intro offset  : {result.intro_offset_sec:.2f}s trimmed "
+              "from source (excluded from analysis)")
+    lo, hi = result.tempo_ci
+    print(f"  Tempo 95% CI  : [{lo:.4f}, {hi:.4f}]")
+    if result.ibi_ci is not None:
+        print(f"  IBI   95% CI  : [{result.ibi_ci[0]:.6f}, {result.ibi_ci[1]:.6f}]")
+    if result.nc_median_bpm and result.src_median_bpm:
+        print(f"  Median BPMs   : NCOG {result.nc_median_bpm:.1f} BPM  |  "
+              f"HQ {result.src_median_bpm:.1f} BPM")
+    if result.nc_duration and result.src_duration:
+        dr = result.src_duration / result.nc_duration
+        print(f"  Durations     : NCOG {result.nc_duration:.3f} s  |  "
+              f"HQ {result.src_duration:.3f} s  (after silence trim)")
+        print(f"  Duration ratio: {dr:.6f}×  (HQ÷NCOG)  |  inverse: {1.0 / dr:.6f}×")
+
+    if result.n_source_pitch_windows > 0 and tr > 0:
+        pt_diff = abs(pr - tr) / tr
+        if pt_diff > PITCH_TEMPO_TOLERANCE:
+            extra = -12 * math.log2(pr / tr)
+            print(f"\n  Note: pitch ratio ({pr:.4f}) and tempo ratio ({tr:.4f})"
+                  f" differ by {pt_diff * 100:.1f}% — roughly {extra:+.2f} st of"
+                  " extra pitch processing on top of the speed-up.")
+        else:
+            print("\n  Pitch and tempo ratios agree — consistent with a pure speed-up.")
+    elif result.n_source_pitch_windows == 0:
+        print("\n  Pitch analysis will be run as a separate step.")
+
+    for w in result.warnings:
+        print(f"  Warning: {w[:200]}")
+
+    print()
+    if tr > 0:
+        inv = 1.0 / tr
+        if abs(tr - 1.0) < NEAR_UNITY:
+            print("  If files are swapped: speed would also be ~1.000× (no difference).")
+        elif inv < 1.0:
+            print(f"  If files are swapped: speed = 1 / {tr:.4f} = {inv:.6f}×  "
+                  "(would SLOW DOWN HQ — file order looks correct)")
+        else:
+            print(f"  If files are swapped: speed = 1 / {tr:.4f} = {inv:.6f}×  "
+                  "(would speed up HQ — double-check which file is the nightcore)")
+
+    hqnc = _hqnc_path(hq)
+    print()
+    if result.ibi_ratio is not None:
+        print("  Recommended speed command (IBI — higher precision):")
+        print(f"    sox '{hq}' '{hqnc}' speed {result.ibi_ratio:.6f}")
+        print("  Alternative (windowed BPM ratio):")
+        print(f"    sox '{hq}' '{hqnc}' speed {tr:.6f}")
+    else:
+        print("  Recommended speed command:")
+        print(f"    sox '{hq}' '{hqnc}' speed {tr:.6f}")
+    note = _lossy_note(hq)
+    if note:
+        print()
+        print(note)
+
+
+def _print_verification_result(result, hqnc: Path, ncog: Path) -> bool:
+    """Interpret HQNC-vs-NCOG; True when tempo is within tolerance
+    (IBI ±0.5 % preferred over BPM ±2 %, reference workflow.py:380-387)."""
+    tr, pr = result.tempo_ratio, result.pitch_ratio
+    print()
+    _hr("═")
+    print("  VERIFICATION  (HQNC vs NCOG — nightcore ↔ nightcore)")
+    _hr("═")
+    print(f"  Comparing : {hqnc.name}")
+    print(f"       vs   : {ncog.name}")
+    print(f"  BPM ratio  : {tr:.6f}×  (windowed, ±{NEAR_UNITY * 100:.0f}% tolerance)")
+    if result.ibi_ratio is not None:
+        lo, hi = result.ibi_ci or (result.ibi_ratio, result.ibi_ratio)
+        print(f"  IBI ratio  : {result.ibi_ratio:.6f}×  95% CI [{lo:.6f}, {hi:.6f}]")
+    if result.xcorr_ratio is not None:
+        q = result.xcorr_quality or 0.0
+        if q < XCORR_QUALITY_GATE:
+            print(f"  Xcorr ratio: {result.xcorr_ratio:.6f}×  quality {q:.2f}"
+                  " — result discarded (insufficient confidence)")
+        else:
+            print(f"  Xcorr ratio: {result.xcorr_ratio:.6f}×  quality {q:.2f}"
+                  f" ({quality_label(q)})")
+    if result.nc_duration and result.src_duration:
+        dr = result.src_duration / result.nc_duration
+        print(f"  Durations  : NCOG {result.nc_duration:.3f} s  |  "
+              f"HQNC {result.src_duration:.3f} s  (after silence trim)")
+        print(f"  Dur ratio  : {dr:.6f}×  (HQNC÷NCOG)  |  inverse: {1.0 / dr:.6f}×")
+        len_ratio = result.nc_duration / result.src_duration
+        if abs(len_ratio - 1.0) > LEN_RATIO_WARN:
+            print(f"\n  ⚠️  Length difference after silence trim: "
+                  f"{abs(result.nc_duration - result.src_duration):.3f}s "
+                  f"(ratio {len_ratio:.4f})")
+            print("      Edit differences (intros/outros/internal cuts) can cause this;")
+            print("      it was not uncommon in old nightcore uploads.")
+        else:
+            print(f"  Length ratio: {len_ratio:.4f}  (within 0.5 % — "
+                  "no edit differences detected)")
+    print(f"  Pitch ratio: {pr:.6f}")
+
+    if result.ibi_ratio is not None:
+        tempo_ok = abs(result.ibi_ratio - 1.0) < IBI_TOLERANCE
+    else:
+        tempo_ok = abs(tr - 1.0) < NEAR_UNITY
+    pitch_ok = abs(pr - 1.0) < NEAR_UNITY
+
+    print()
+    if tempo_ok and pitch_ok:
+        print("  Files are essentially identical in tempo and pitch.")
+        print("  HQNC is a faithful high-quality recreation of NCOG.")
+    elif tempo_ok:
+        st = -12 * math.log2(pr) if pr > 0 else 0.0
+        print(f"  Tempos match, but pitch differs by ~{st:+.2f} semitones.")
+        print("  NCOG appears to carry an additional pitch shift; add a"
+              " '--pitch' correction if you want to undo it.")
+    else:
+        print(f"  Speed still differs by {(tr - 1.0) * 100:+.2f}%.")
+
+    ext_h = hqnc.suffix.lstrip(".").lower()
+    ext_n = ncog.suffix.lstrip(".").lower()
+    tag = lambda e: "lossless container" if e in _LOSSLESS_EXTENSIONS else "lossy"  # noqa: E731
+    print()
+    print(f"  Format: HQNC = {ext_h.upper()} ({tag(ext_h)})  |  "
+          f"NCOG = {ext_n.upper()} ({tag(ext_n)})")
+    print("  Run spectral analysis for the full quality assessment "
+          "(incl. transcode detection).")
+    return tempo_ok
+
+
+def quality_label(quality: float) -> str:
+    """Human-readable xcorr quality label (reference xcorr.py:262-268)."""
+    if quality >= 0.70:
+        return "good match"
+    if quality >= 0.40:
+        return "moderate match"
+    return "poor match — possible content mismatch or heavy lossy artefacts"
+
+
+def _estimate_xcorr(path_a: Path, path_b: Path) -> tuple[float, float]:
+    """Waveform-xcorr verify on two files (device program,
+    reference xcorr.py:54-162)."""
+    import jax.numpy as jnp
+    from .signal.io import load_audio
+    from .config import DEFAULT_CONFIG, bucket_for_duration
+    from .ops.verify import estimate_speed_xcorr_arrays
+    import jax as _jax
+
+    ya, sr = load_audio(str(path_a))
+    yb, _ = load_audio(str(path_b))
+    bucket = bucket_for_duration(max(len(ya), len(yb)) / sr)
+    cfg = DEFAULT_CONFIG.replace(max_duration_sec=bucket)
+
+    def pad(y):
+        buf = np.zeros(cfg.max_samples, np.float32)
+        n = min(len(y), cfg.max_samples)
+        buf[:n] = y[:n]
+        return buf, n
+
+    ba, na = pad(ya)
+    bb, nb = pad(yb)
+    fn = _jax.jit(lambda a, na_, b, nb_: estimate_speed_xcorr_arrays(
+        a, b, na_, nb_, cfg))
+    r, q = fn(jnp.asarray(ba), jnp.asarray(na), jnp.asarray(bb), jnp.asarray(nb))
+    return float(np.asarray(r)), float(np.asarray(q))
+
+
+# ── mode: spectral ───────────────────────────────────────────────────────────
+
+def run_spectral_analysis(path_a: Optional[Path] = None,
+                          path_b: Optional[Path] = None,
+                          label_a: str = "FILE A",
+                          label_b: str = "FILE B") -> None:
+    print()
+    _hr("═")
+    print("  SPECTRAL ANALYSIS")
+    _hr("═")
+    if path_a is None:
+        path_a = _prompt_file("File A (reference)")
+        label_a = path_a.name
+    if path_b is None:
+        path_b = _prompt_file("File B (other)")
+        label_b = path_b.name
+    print()
+    stats_a = spec.analyze(str(path_a), label=label_a)
+    stats_b = spec.analyze(str(path_b), label=label_b)
+    spec.compare_and_print(stats_a, stats_b, label_ref=label_a,
+                           label_other=label_b, ref_path=str(path_a),
+                           other_path=str(path_b))
+
+
+# ── mode: loudness ───────────────────────────────────────────────────────────
+
+def run_loudness_adjustment(src: Path) -> None:
+    print()
+    _hr("═")
+    print("  LOUDNESS ADJUSTMENT")
+    _hr("═")
+    print(f"  File: {src.name}")
+    print()
+    print("  Method options:")
+    print("    [l]  True Peak Limiter  (recommended — surgical, preserves dynamic range)")
+    print("    [g]  Gain Reduction     (brute force — shifts entire signal down by N dB)")
+    print()
+
+    current, version = src, 0
+    while True:
+        print(f"  Scanning: {current.name} …")
+        peak_db, clipping = lda.detect_peak(current)
+        if peak_db == float("-inf"):
+            print("  Peak: -inf dBFS  (file appears silent)")
+            print("  File is silent — nothing to adjust.")
+            break
+        print(f"  Peak: {peak_db:+.2f} dBFS"
+              f"{'  !! CLIPPING' if clipping else '  OK'}")
+
+        if not clipping:
+            print("\n  No clipping detected (peak is below 0 dBFS).")
+            if _prompt_choice("  Continue anyway (adjust even though not "
+                              "needed)?", "yne", "n") != "y":
+                print("  No adjustment applied.")
+                break
+
+        print()
+        method = _prompt_choice(
+            "  Adjustment method?  [l] True Peak Limiter  [g] Gain Reduction",
+            "lge")
+        version += 1
+        dst = lda.make_adj_path(src, version)
+
+        if method == "l":
+            raw = input("  Limiter ceiling in dBFS (default -0.1): ").strip()
+            try:
+                limit_db = float(raw) if raw else -0.1
+            except ValueError:
+                print("  Invalid value — using default -0.1 dBFS.")
+                limit_db = -0.1
+            limit_db = min(limit_db, 0.0)
+            print(f"  Ceiling : {limit_db:.1f} dBFS")
+            print(f"  Output  : {dst.name}")
+            lda.apply_true_peak_limiter(current, dst, limit_db=limit_db)
+        else:
+            raw = input("  Gain reduction in dB (default -1.0): ").strip()
+            try:
+                gain_db = float(raw) if raw else -1.0
+            except ValueError:
+                print("  Invalid value — using default -1.0 dB.")
+                gain_db = -1.0
+            gain_db = min(gain_db, 0.0)
+            print(f"  Gain    : {gain_db:.1f} dB")
+            print(f"  Output  : {dst.name}")
+            lda.apply_gain_reduction(current, dst, gain_db=gain_db)
+
+        print(f"\n  Verifying {dst.name} …")
+        new_peak, still = lda.detect_peak(dst)
+        print(f"  Peak (after): {new_peak:+.2f} dBFS"
+              f"{'  !! still clipping' if still else '  OK'}")
+        print("\n  " + ("Clipping resolved.  Final file: " + dst.name
+                        if not still else "File is still clipping after adjustment."))
+
+        if _prompt_choice(
+                f"\n  Run another pass (would create "
+                f"{lda.make_adj_path(src, version + 1).name})?", "yne", "n") != "y":
+            break
+        current = dst
+
+    print()
+    _hr()
+    print("  Loudness adjustment complete.")
+    _hr()
+
+
+# ── mode: pitch ──────────────────────────────────────────────────────────────
+
+def _pitch_shift_between(src_path: Path, nc_path: Path) -> Optional[tuple]:
+    """(ratio, shift_st, n_samples) from the device chroma pipeline."""
+    from .config import DEFAULT_CONFIG, bucket_for_duration
+    from .analyze.pipeline import analyze_arrays
+    from .signal.io import load_audio
+
+    src_audio, sr = load_audio(str(src_path))
+    nc_audio, _ = load_audio(str(nc_path))
+    cfg = DEFAULT_CONFIG
+    try:
+        res, pa = analyze_arrays(nc_audio, src_audio, cfg,
+                                 log=lambda m: print(f"  {m}"))
+    except (RuntimeError, ValueError) as exc:
+        print(f"  Pitch analysis failed: {exc}")
+        return None
+    st = float(np.asarray(pa.pitch_point_st))
+    n = int(np.asarray(pa.n_chunks))
+    return 2.0 ** (st / 12.0), st, n
+
+
+def run_pitch_analysis(src_path: Path, nc_path: Path, *,
+                       label: str = "Pitch analysis") -> Optional[Path]:
+    """Chroma-xcorr pitch estimate + optional correction loop producing
+    PS<n> files until the residual is within ±0.5 st
+    (reference workflow.py:591-704)."""
+    print()
+    _hr()
+    print(f"  {label}")
+    _hr()
+    print(f"  Source    : {src_path.name}")
+    print(f"  Nightcore : {nc_path.name}")
+    print()
+
+    out = _pitch_shift_between(src_path, nc_path)
+    if out is None:
+        return None
+    ratio, shift_st, n_used = out
+
+    print()
+    _hr("═")
+    print("  PITCH ANALYSIS RESULTS")
+    _hr("═")
+    print(f"  Pitch ratio   : {ratio:.6f}  ({shift_st:+.6f} semitones)")
+    print("  Pitch method  : chroma_xcorr")
+    print(f"  Samples used  : {n_used} chunks")
+
+    if shift_st == 0.0:
+        print("\n  No pitch shift detected.")
+        return None
+    if abs(shift_st) < PITCH_SIGNIFICANT_ST:
+        print(f"\n  Small pitch shift detected: {shift_st:+.6f} st — below "
+              f"the {PITCH_SIGNIFICANT_ST} st significance threshold.")
+        return None
+
+    print(f"\n  Independent pitch shift detected: {shift_st:+.6f} st above "
+          "the speed-up.\n  To reconstruct the original: "
+          f"rubberband --pitch {-shift_st:+.6f}  (in addition to --time)")
+
+    version = 0
+    current: Optional[Path] = None
+    while True:
+        version += 1
+        nxt = _ps_path(src_path, version)
+        print(f"\n  Would create: {nxt.name}")
+        if _prompt_choice(f"  Apply pitch correction (--pitch "
+                          f"{shift_st:+.6f})?", "yne", "y") != "y":
+            break
+        create_pitch_shifted_file(current or src_path, nxt, shift_st)
+        current = nxt
+
+        print()
+        _hr()
+        print(f"  Pitch verification  ({nxt.name} vs {nc_path.name})")
+        _hr()
+        out = _pitch_shift_between(nxt, nc_path)
+        if out is None:
+            break
+        _, shift_st, n_used = out
+        print()
+        _hr("═")
+        print("  PITCH VERIFICATION RESULTS")
+        _hr("═")
+        print(f"  Residual shift: {shift_st:+.6f} st")
+        print(f"  Samples used  : {n_used} chunks")
+        if abs(shift_st) < PITCH_SIGNIFICANT_ST:
+            print("\n  Pitch correction successful — residual within ±0.5 st.")
+            break
+        print(f"\n  Residual {shift_st:+.6f} st still exceeds the 0.5 st "
+              "threshold.")
+    return current
+
+
+# ── mode: full suite ─────────────────────────────────────────────────────────
+
+def run_full_suite(hq: Path, ncog: Path, src_trim_sec: float = 0.0) -> None:
+    print()
+    _hr("═")
+    print("  FULL SUITE")
+    _hr("═")
+
+    print("\n  Step 1/5 — Speed comparison  (HQ vs NCOG)")
+    result1 = _run_pipeline(ncog, hq, "Analysing HQ vs NCOG…",
+                            src_trim_sec=src_trim_sec, compute_pitch=False)
+    _print_speed_result(result1, hq, ncog)
+
+    tr = result1.tempo_ratio
+    dur_override: Optional[float] = None
+    print()
+    if abs(tr - 1.0) < NEAR_UNITY:
+        print(f"  ! Speed factor is ~1.000× — no meaningful speed change "
+              f"would be applied.\n    Output would be: {_hqnc_path(hq).name}"
+              "\n    Check that the correct files were provided (NCOG first, then HQ).")
+        if result1.src_duration and result1.nc_duration:
+            dr = result1.src_duration / result1.nc_duration
+            print(f"\n  Duration ratio (HQ÷NCOG): {dr:.6f}×"
+                  "\n  [d] uses this as the speed factor instead of ~1.000×.")
+            ans = _prompt_choice("  Create HQNC?", "ydne", "n")
+            if ans == "d":
+                dur_override, ans = dr, "y"
+        else:
+            ans = _prompt_choice("  Create HQNC anyway?", "yne", "n")
+    elif tr < 1.0:
+        print(f"  !! Speed factor is {tr:.6f}× — LESS THAN 1.\n"
+              "     This would create a SLOWER version of HQ.  Check file "
+              "order (NCOG first, then HQ).")
+        ans = _prompt_choice("  Create this slower file anyway?", "yne", "n")
+    else:
+        ans = _prompt_choice("  Create HQNC (speed up HQ by the detected "
+                             "factor)?", "yne", "y")
+
+    current_speed = (dur_override if dur_override is not None
+                     else (result1.ibi_ratio if result1.ibi_ratio is not None
+                           else tr))
+    hqnc: Optional[Path] = None
+    upd = 0
+    if ans == "y":
+        hqnc = _hqnc_path(hq, upd)
+        create_speed_changed_file(hq, hqnc, current_speed)
+
+    if hqnc and hqnc.is_file():
+        attempt = 0
+        while True:
+            attempt += 1
+            label = ("Step 2/5 — Verification  (HQNC vs NCOG)" if attempt == 1
+                     else f"Step 2/5 — Re-verification  (attempt {attempt})")
+            print(f"\n  {label}")
+            result2 = _run_pipeline(ncog, hqnc, "Analysing HQNC vs NCOG…",
+                                    compute_pitch=False)
+            print("  Running cross-correlation verification…")
+            result2.xcorr_ratio, result2.xcorr_quality = _estimate_xcorr(hqnc, ncog)
+
+            if _print_verification_result(result2, hqnc, ncog):
+                break
+
+            residual = (result2.ibi_ratio if result2.ibi_ratio is not None
+                        else result2.tempo_ratio)
+            corrected = current_speed * residual
+            upd += 1
+            nxt = _hqnc_path(hq, upd)
+            estimator = "IBI" if result2.ibi_ratio is not None else "BPM"
+            print(f"\n  Speed is still off by {(residual - 1.0) * 100:+.2f}%.")
+            print(f"  Corrected factor ({estimator}): {current_speed:.6f} × "
+                  f"{residual:.6f} = {corrected:.6f}×")
+            print(f"  Would create: {nxt.name}")
+            if _prompt_choice("  Re-run speed change with corrected factor?",
+                              "yne", "y") != "y":
+                break
+            create_speed_changed_file(hq, nxt, corrected)
+            hqnc, current_speed = nxt, corrected
+    else:
+        print("\n  Step 2/5 — Skipped (no HQNC created).")
+
+    print()
+    _hr("═")
+    print("  Step 3/5 — Pitch analysis")
+    _hr("═")
+    psfile: Optional[Path] = None
+    if _prompt_choice("  Run pitch analysis?", "yn", "y") == "y":
+        pitch_src = hqnc if (hqnc and hqnc.is_file()) else hq
+        psfile = run_pitch_analysis(
+            pitch_src, ncog,
+            label=f"Step 3/5 — Pitch analysis  ({pitch_src.name} vs {ncog.name})")
+
+    print()
+    _hr("═")
+    print("  Step 4/5 — Spectral analysis")
+    _hr("═")
+    if _prompt_choice("  Run spectral analysis?", "yn", "y") == "y":
+        best = psfile if (psfile and psfile.is_file()) else hqnc
+        if best and best.is_file():
+            run_spectral_analysis(best, ncog, best.name, f"NCOG ({ncog.name})")
+        else:
+            run_spectral_analysis(hq, ncog, f"HQ ({hq.name})",
+                                  f"NCOG ({ncog.name})")
+
+    print()
+    if _prompt_choice("  Run loudness adjustment? (detects 0 dBFS clipping, "
+                      "offers limiter or gain fix)", "yn") == "y":
+        target = (psfile if (psfile and psfile.is_file())
+                  else hqnc if (hqnc and hqnc.is_file()) else hq)
+        print(f"\n  Target: {target.name}")
+        run_loudness_adjustment(target)
+
+
+# ── mode: speed comparison ───────────────────────────────────────────────────
+
+def run_speed_comparison(hq: Path, ncog: Path, src_trim_sec: float = 0.0) -> None:
+    print()
+    _hr("═")
+    print("  SPEED COMPARISON")
+    _hr("═")
+    result = _run_pipeline(ncog, hq, "Analysing HQ vs NCOG…",
+                           src_trim_sec=src_trim_sec)
+    _print_speed_result(result, hq, ncog)
+
+    tr, pr = result.tempo_ratio, result.pitch_ratio
+    hqnc: Optional[Path] = None
+    if abs(tr - 1.0) < NEAR_UNITY and abs(pr - 1.0) < NEAR_UNITY:
+        print("\n  Files appear to be at the same speed and pitch — "
+              "possibly the same file.")
+    elif abs(tr - 1.0) >= NEAR_UNITY:
+        print()
+        if tr < 1.0:
+            print(f"  !! Speed factor is {tr:.6f}× — LESS THAN 1. Check file "
+                  "order (NCOG first, then HQ).")
+            ans = _prompt_choice("  Create this slower file anyway?", "yne", "n")
+        else:
+            ans = _prompt_choice("  Create HQNC (speed up HQ by the detected "
+                                 "factor)?", "yne", "y")
+        if ans == "y":
+            hqnc = _hqnc_path(hq)
+            speed = result.ibi_ratio if result.ibi_ratio is not None else tr
+            create_speed_changed_file(hq, hqnc, speed)
+
+    print()
+    if _prompt_choice("  Run spectral analysis?", "yn") == "y":
+        if hqnc and hqnc.is_file():
+            run_spectral_analysis(hqnc, ncog, f"HQNC ({hqnc.name})",
+                                  f"NCOG ({ncog.name})")
+        else:
+            run_spectral_analysis(hq, ncog, f"HQ ({hq.name})",
+                                  f"NCOG ({ncog.name})")
+
+
+# ── entry point ──────────────────────────────────────────────────────────────
+
+def main() -> None:
+    import argparse
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--src-trim-sec", type=float, default=0.0)
+    known, rest = p.parse_known_args(sys.argv[1:])
+
+    ncog_arg = rest[0] if len(rest) > 0 else None
+    hq_arg = rest[1] if len(rest) > 1 else None
+
+    print()
+    _hr("═")
+    print("  NIGHTCORE ANALYZER (TPU) — WORKFLOW")
+    _hr("═")
+    print("  [f]  Full suite  (speed → create HQNC → verification → pitch → spectral → loudness)")
+    print("  [s]  Speed comparison  (+ optional HQNC creation + optional spectral)")
+    print("  [p]  Pitch analysis  (standalone two-file chroma xcorr)")
+    print("  [a]  Spectral analysis  (standalone two-file comparison)")
+    print("  [l]  Loudness adjustment  (clipping detection + limiter / gain)")
+    print("  [e]  Exit")
+    print()
+
+    mode = _prompt_choice("Choose mode", "fspale")
+    if mode == "p":
+        print()
+        hq_p = _prompt_file("Source / HQ file")
+        ncog_p = _prompt_file("Nightcore / NCOG file")
+        run_pitch_analysis(hq_p, ncog_p, label="Pitch analysis")
+        return
+    if mode == "a":
+        run_spectral_analysis()
+        return
+    if mode == "l":
+        print()
+        run_loudness_adjustment(_prompt_file("Audio file to adjust"))
+        return
+
+    print()
+    ncog = _prompt_file("NCOG (nightcore edit)", ncog_arg)
+    hq = _prompt_file("HQ source (original high-quality)", hq_arg)
+    if mode == "f":
+        run_full_suite(hq, ncog, src_trim_sec=known.src_trim_sec)
+    else:
+        run_speed_comparison(hq, ncog, src_trim_sec=known.src_trim_sec)
+
+
+if __name__ == "__main__":
+    main()
