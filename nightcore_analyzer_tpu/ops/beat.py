@@ -103,6 +103,44 @@ def _select_tail(cum: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.where(cand, jnp.arange(F), -1))
 
 
+def _backtrace_parallel(backlink: jnp.ndarray, tail: jnp.ndarray,
+                        max_beats: int):
+    """Pointer-doubling backtrace (batched): instead of ``max_beats``
+    sequential link-follow steps, build jump tables ``backlink^(2^k)`` with
+    ``log2`` gather passes and extract all path nodes at once by binary
+    decomposition of the step count.  ``backlink``: (L, F); ``tail``: (L,).
+    Returns (beats (L, max_beats) ascending, n (L,))."""
+    L, F = backlink.shape
+    SENT = F                                     # sentinel "stopped"
+    bits = max(1, int(np.ceil(np.log2(max_beats))))
+
+    table = jnp.where(backlink >= 0, backlink, SENT)
+    table = jnp.concatenate([table, jnp.full((L, 1), SENT, table.dtype)], axis=1)
+    tables = [table]
+    for _ in range(bits - 1):
+        t = tables[-1]
+        tables.append(jnp.take_along_axis(t, t, axis=1))
+
+    # beats_desc[:, j] = backlink^j(tail): apply each power-of-two jump to
+    # the lanes of j that have that bit set
+    j = jnp.arange(max_beats)
+    pos = jnp.broadcast_to(tail[:, None], (L, max_beats))
+    pos = jnp.where(pos < 0, SENT, pos)
+    for b in range(bits):
+        sel = (j >> b) & 1
+        jumped = jnp.take_along_axis(tables[b], pos, axis=1)
+        pos = jnp.where(sel[None, :] == 1, jumped, pos)
+
+    valid = pos < SENT
+    n = jnp.sum(valid, axis=1).astype(jnp.int32)
+    # reverse the first n entries per lane → ascending frame order
+    idx = n[:, None] - 1 - j[None, :]
+    beats = jnp.where(j[None, :] < n[:, None],
+                      jnp.take_along_axis(pos, jnp.clip(idx, 0, max_beats - 1),
+                                          axis=1), -1)
+    return beats.astype(jnp.int32), n
+
+
 def _backtrace(backlink: jnp.ndarray, tail: jnp.ndarray, max_beats: int):
     def step(carry, _):
         pos, k, buf = carry
@@ -226,14 +264,10 @@ def beat_track_batch(envs: jnp.ndarray, n_valid_frames: jnp.ndarray,
             lambda ls, p: _dp(ls, p, tightness, search_window)
         )(localscore, period)
 
-    def post(ls, c, bl, nv):
-        tail = _select_tail(c, nv)
-        beats, n = _backtrace(bl, tail, max_beats)
-        if trim:
-            beats, n = _trim(ls, beats, n)
-        return beats, n
-
-    beats, n = jax.vmap(post)(localscore, cum, backlink, nv_f)
+    tail = jax.vmap(_select_tail)(cum, nv_f)
+    beats, n = _backtrace_parallel(backlink, tail, max_beats)
+    if trim:
+        beats, n = jax.vmap(_trim)(localscore, beats, n)
     return BeatTrackResult(
         beats=beats.reshape(lead + (max_beats,)),
         n_beats=n.reshape(lead),

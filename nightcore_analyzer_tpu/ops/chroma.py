@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import AnalyzerConfig
 from . import filters
-from .spectrum import frame_indices
+from .spectrum import frame_interleaved, interleave_params
 
 __all__ = ["chunk_chroma_means", "cyclic_xcorr_lag"]
 
@@ -86,40 +86,65 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
     f_per_chunk = cfg.chroma_frames_per_chunk
     hop_hi, hop_lo = cfg.chroma_hop, cfg.chroma_hop // 4
     pad = n_fft // 2
-    ypad = jnp.pad(y, (pad, pad + n_fft + cfg.chunk_samples))
-    y4pad = jnp.pad(y4, (pad, pad + n_fft + cfg.chunk_samples // 4))
-
     fchunk = cfg.chroma_frame_chunk
     n_fchunks = -(-f_per_chunk // fchunk)
-    idx_hi = jnp.asarray(frame_indices(fchunk, n_fft, hop_hi))
-    idx_lo = jnp.asarray(frame_indices(fchunk, n_fft, hop_lo))
 
-    def one_chunk(c):
+    def _padded(sig, hop, n_sig):
+        # largest static tile start + slice span must stay in bounds
+        chunk_step = cfg.chunk_samples if hop == hop_hi else cfg.chunk_samples // 4
+        max_end = ((cfg.max_chunks - 1) * chunk_step
+                   + (n_fchunks - 1) * fchunk * hop
+                   + fchunk * hop + 2 * n_fft)
+        tail = max(0, max_end - n_sig) + pad
+        return jnp.pad(sig, (pad, tail))
+
+    ypad = _padded(y, hop_hi, y.shape[-1])
+    y4pad = _padded(y4, hop_lo, y4.shape[-1])
+    _, _, _, perm_hi = interleave_params(fchunk, n_fft, hop_hi)
+    _, _, _, perm_lo = interleave_params(fchunk, n_fft, hop_lo)
+    perm_hi = jnp.asarray(perm_hi)
+    perm_lo = jnp.asarray(perm_lo)
+
+    # Chunk-slot starts are compile-time constants (slot c begins at
+    # c*chunk_samples); keeping them static turns every frame load into a
+    # static slice + static-index gather — the fast path on TPU — instead
+    # of a batched dynamic gather.  Only the validity masks are traced.
+    def segment_chroma_sum(start_hi: int, start_lo: int, f_valid):
+        """Sum of normalized per-frame chroma for one (chunk, fchunk) tile.
+
+        Framing is gather-free (interleaved reshapes); the tiny (fchunk, 36)
+        chroma matrix is un-permuted back to time order before masking."""
+        seg_hi = jax.lax.slice_in_dim(
+            ypad, start_hi, start_hi + fchunk * hop_hi + 2 * n_fft, axis=-1)
+        seg_lo = jax.lax.slice_in_dim(
+            y4pad, start_lo, start_lo + fchunk * hop_lo + 2 * n_fft, axis=-1)
+        fr_hi = frame_interleaved(seg_hi, fchunk, n_fft, hop_hi)[:fchunk]
+        fr_lo = frame_interleaved(seg_lo, fchunk, n_fft, hop_lo)[:fchunk]
+        sp_hi = jnp.fft.rfft(fr_hi * window, axis=-1)
+        sp_lo = jnp.fft.rfft(fr_lo * window, axis=-1)
+        cq_lo = jnp.take(_cqt_mag(sp_lo, lo_basis), perm_lo[:fchunk], axis=0)
+        cq_hi = jnp.take(_cqt_mag(sp_hi, hi_basis), perm_hi[:fchunk], axis=0)
+        cq = jnp.concatenate([cq_lo, cq_hi], axis=-1)
+        ch = cq.reshape(fchunk, cfg.chroma_n_octaves, bpo).sum(axis=1)
+        peak = jnp.max(ch, axis=-1, keepdims=True)
+        ch = jnp.where(peak > 1e-12, ch / jnp.maximum(peak, 1e-12), 0.0)
+        local_f = jnp.arange(fchunk)
+        return jnp.sum(jnp.where((local_f < f_valid)[:, None], ch, 0.0), axis=0)
+
+    out = []
+    for c in range(cfg.max_chunks):
         start_hi = c * cfg.chunk_samples
         start_lo = start_hi // 4
         len_in = jnp.clip(n_samples - start_hi, 0, cfg.chunk_samples)
         f_valid = jnp.where(len_in > 0, 1 + len_in // hop_hi, 0)
-
-        def body(acc, fc):
-            f0 = fc * fchunk
-            seg_hi = jax.lax.dynamic_slice(
-                ypad, (start_hi + f0 * hop_hi,), ((fchunk - 1) * hop_hi + n_fft,))
-            seg_lo = jax.lax.dynamic_slice(
-                y4pad, (start_lo + f0 * hop_lo,), ((fchunk - 1) * hop_lo + n_fft,))
-            sp_hi = jnp.fft.rfft(jnp.take(seg_hi, idx_hi, axis=0) * window, axis=-1)
-            sp_lo = jnp.fft.rfft(jnp.take(seg_lo, idx_lo, axis=0) * window, axis=-1)
-            cq = jnp.concatenate(
-                [_cqt_mag(sp_lo, lo_basis), _cqt_mag(sp_hi, hi_basis)], axis=-1)
-            chroma = cq.reshape(fchunk, cfg.chroma_n_octaves, bpo).sum(axis=1)
-            peak = jnp.max(chroma, axis=-1, keepdims=True)
-            chroma = jnp.where(peak > 1e-12, chroma / jnp.maximum(peak, 1e-12), 0.0)
-            fmask = ((f0 + jnp.arange(fchunk)) < f_valid)[:, None]
-            return acc + jnp.sum(jnp.where(fmask, chroma, 0.0), axis=0), None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros(bpo), jnp.arange(n_fchunks))
-        return acc / jnp.maximum(f_valid, 1)
-
-    return jax.vmap(one_chunk)(jnp.arange(cfg.max_chunks))
+        acc = jnp.zeros(bpo)
+        for fc in range(n_fchunks):
+            acc = acc + segment_chroma_sum(
+                start_hi + fc * fchunk * hop_hi,
+                start_lo + fc * fchunk * hop_lo,
+                f_valid - fc * fchunk)
+        out.append(acc / jnp.maximum(f_valid, 1))
+    return jnp.stack(out)
 
 
 def cyclic_xcorr_lag(src_chroma: jnp.ndarray, nc_chroma: jnp.ndarray) -> jnp.ndarray:

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import AnalyzerConfig
 from . import filters
-from .spectrum import frame_indices, power_to_db
+from .spectrum import frame_indices, frame_interleaved, interleave_params, power_to_db
 
 __all__ = ["onset_pad_width", "mel_power_windows", "mel_power_global",
            "onset_envelope_from_mel", "onset_frames_valid"]
@@ -73,19 +73,23 @@ def mel_power_windows(y: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
     chunk = max(1, cfg.window_chunk)
     n_chunks = -(-n_slots // chunk)
     pad = n_fft // 2
-    seg_len = (chunk - 1) * cfg.hop_samples + win_n + n_fft
+    P, K, f_padded, perm = interleave_params(f_per_win, n_fft, hop)
+    slot_seg = (f_padded - 1) * hop + n_fft + n_fft
+    seg_len = (chunk - 1) * cfg.hop_samples + slot_seg
     ypad = jnp.pad(y, (pad, pad + seg_len))
-    # static frame index matrix relative to each chunk's segment start:
-    # frame t of chunk-local slot s starts at s*hop_samples + t*hop
-    local_idx = (np.arange(chunk)[:, None, None] * cfg.hop_samples +
-                 frame_indices(f_per_win, n_fft, hop)[None])
-    local_idx = jnp.asarray(local_idx)
+    perm_j = jnp.asarray(perm)
 
     def body(_, c):
         seg = jax.lax.dynamic_slice(ypad, (c * chunk * cfg.hop_samples,),
                                     (seg_len,))
-        frames = jnp.take(seg, local_idx, axis=0)     # static-index gather
-        return None, _stft_mel_power(frames, window, mel_T)
+        outs = []
+        for s in range(chunk):                    # static slot offsets
+            sseg = jax.lax.slice_in_dim(seg, s * cfg.hop_samples,
+                                        s * cfg.hop_samples + slot_seg, axis=-1)
+            frames = frame_interleaved(sseg, f_per_win, n_fft, hop)
+            mel = _stft_mel_power(frames, window, mel_T)   # (f_padded, mels)
+            outs.append(jnp.take(mel, perm_j, axis=0)[:f_per_win])
+        return None, jnp.stack(outs)
 
     _, mels = jax.lax.scan(body, None, jnp.arange(n_chunks))
     mels = mels.reshape(n_chunks * chunk, f_per_win, cfg.n_mels)
@@ -106,16 +110,19 @@ def mel_power_global(y: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
 
     chunk = cfg.frame_chunk
     n_chunks = -(-n_frames // chunk)
-    seg_len = (chunk - 1) * hop + n_fft
+    P, K, c_padded, perm = interleave_params(chunk, n_fft, hop)
+    assert c_padded == chunk, "frame_chunk must be a multiple of n_fft//hop"
+    seg_len = (K - 1) * n_fft + (P - 1) * hop + n_fft
     pad = n_fft // 2
     ypad = jnp.pad(y, (pad, pad + seg_len))
-    local_idx = jnp.asarray(frame_indices(chunk, n_fft, hop))
+    perm_j = jnp.asarray(perm)
 
     def body(_, c):
         start = c * (chunk * hop)
         seg = jax.lax.dynamic_slice(ypad, (start,), (seg_len,))
-        frames = jnp.take(seg, local_idx, axis=0)
-        return None, _stft_mel_power(frames, window, mel_T)
+        frames = frame_interleaved(seg, chunk, n_fft, hop)
+        mel = _stft_mel_power(frames, window, mel_T)
+        return None, jnp.take(mel, perm_j, axis=0)
 
     _, mels = jax.lax.scan(body, None, jnp.arange(n_chunks))
     return mels.reshape(n_chunks * chunk, cfg.n_mels)[:n_frames]

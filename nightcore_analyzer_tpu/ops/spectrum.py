@@ -41,6 +41,41 @@ def frame_signal(y: jnp.ndarray, n_frames: int, frame_length: int, hop: int,
     return jnp.take(y, idx, axis=-1)
 
 
+def interleave_params(n_frames: int, n_fft: int, hop: int):
+    """Phases/padding for reshape-based framing (requires hop | n_fft).
+
+    Overlapping frames at hop ``h`` with ``P = n_fft/h`` phases decompose
+    into P *non-overlapping* framings: frames ``t ≡ o (mod P)`` are a plain
+    reshape of ``seg[o*h:]``.  Gather-free framing is ~8× cheaper on TPU
+    than a static-index take.  Returns ``(P, K, n_padded, perm)`` with
+    ``ordered[t] = interleaved[perm[t]]``.
+    """
+    assert n_fft % hop == 0
+    P = n_fft // hop
+    K = -(-n_frames // P)
+    n_padded = P * K
+    t = np.arange(n_padded)
+    perm = (t % P) * K + t // P
+    return P, K, n_padded, perm
+
+
+def frame_interleaved(seg: jnp.ndarray, n_frames: int, n_fft: int, hop: int):
+    """Frame ``seg`` (last axis) into (n_padded, n_fft) *interleaved-order*
+    frames via P contiguous reshapes; use ``interleave_params`` for the
+    permutation restoring time order (apply it to whatever small per-frame
+    quantity you compute — not to the frames themselves)."""
+    P, K, n_padded, _ = interleave_params(n_frames, n_fft, hop)
+    need = (K - 1) * n_fft + (P - 1) * hop + n_fft
+    if seg.shape[-1] < need:
+        seg = jnp.pad(seg, [(0, 0)] * (seg.ndim - 1) + [(0, need - seg.shape[-1])])
+    blocks = [
+        jax.lax.slice_in_dim(seg, o * hop, o * hop + K * n_fft, axis=-1)
+        .reshape(seg.shape[:-1] + (K, n_fft))
+        for o in range(P)
+    ]
+    return jnp.concatenate(blocks, axis=-2)          # (..., P*K, n_fft)
+
+
 def stft_mag_sq(frames: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """|rfft(frame * window)|^2 over the last axis."""
     spec = jnp.fft.rfft(frames * window, axis=-1)
