@@ -105,19 +105,34 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
     perm_hi = jnp.asarray(perm_hi)
     perm_lo = jnp.asarray(perm_lo)
 
-    # Chunk-slot starts are compile-time constants (slot c begins at
-    # c*chunk_samples); keeping them static turns every frame load into a
-    # static slice + static-index gather — the fast path on TPU — instead
-    # of a batched dynamic gather.  Only the validity masks are traced.
-    def segment_chroma_sum(start_hi: int, start_lo: int, f_valid):
-        """Sum of normalized per-frame chroma for one (chunk, fchunk) tile.
+    # Tile starts are compile-time constants (slot c begins at
+    # c*chunk_samples), so each tile's samples are extracted with *static*
+    # slices (no dynamic gathers) and stacked; the compute then streams
+    # through a lax.scan over the tile axis, which also sequences the FFT
+    # temporaries (a fully unrolled version lets XLA schedule every tile's
+    # buffers concurrently and OOMs at corpus batch sizes).
+    span_hi = fchunk * hop_hi + 2 * n_fft
+    span_lo = fchunk * hop_lo + 2 * n_fft
+    tiles_hi, tiles_lo, tile_fvalid = [], [], []
+    for c in range(cfg.max_chunks):
+        start_hi = c * cfg.chunk_samples
+        start_lo = start_hi // 4
+        len_in = jnp.clip(n_samples - start_hi, 0, cfg.chunk_samples)
+        f_valid_c = jnp.where(len_in > 0, 1 + len_in // hop_hi, 0)
+        for fc in range(n_fchunks):
+            s_hi = start_hi + fc * fchunk * hop_hi
+            s_lo = start_lo + fc * fchunk * hop_lo
+            tiles_hi.append(jax.lax.slice_in_dim(ypad, s_hi, s_hi + span_hi,
+                                                 axis=-1))
+            tiles_lo.append(jax.lax.slice_in_dim(y4pad, s_lo, s_lo + span_lo,
+                                                 axis=-1))
+            tile_fvalid.append(f_valid_c - fc * fchunk)
+    tiles_hi = jnp.stack(tiles_hi)
+    tiles_lo = jnp.stack(tiles_lo)
+    tile_fvalid = jnp.stack(tile_fvalid)
 
-        Framing is gather-free (interleaved reshapes); the tiny (fchunk, 36)
-        chroma matrix is un-permuted back to time order before masking."""
-        seg_hi = jax.lax.slice_in_dim(
-            ypad, start_hi, start_hi + fchunk * hop_hi + 2 * n_fft, axis=-1)
-        seg_lo = jax.lax.slice_in_dim(
-            y4pad, start_lo, start_lo + fchunk * hop_lo + 2 * n_fft, axis=-1)
+    def body(_, tile):
+        seg_hi, seg_lo, f_valid = tile
         fr_hi = frame_interleaved(seg_hi, fchunk, n_fft, hop_hi)[:fchunk]
         fr_lo = frame_interleaved(seg_lo, fchunk, n_fft, hop_lo)[:fchunk]
         sp_hi = jnp.fft.rfft(fr_hi * window, axis=-1)
@@ -129,22 +144,13 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
         peak = jnp.max(ch, axis=-1, keepdims=True)
         ch = jnp.where(peak > 1e-12, ch / jnp.maximum(peak, 1e-12), 0.0)
         local_f = jnp.arange(fchunk)
-        return jnp.sum(jnp.where((local_f < f_valid)[:, None], ch, 0.0), axis=0)
+        return None, jnp.sum(
+            jnp.where((local_f < f_valid)[:, None], ch, 0.0), axis=0)
 
-    out = []
-    for c in range(cfg.max_chunks):
-        start_hi = c * cfg.chunk_samples
-        start_lo = start_hi // 4
-        len_in = jnp.clip(n_samples - start_hi, 0, cfg.chunk_samples)
-        f_valid = jnp.where(len_in > 0, 1 + len_in // hop_hi, 0)
-        acc = jnp.zeros(bpo)
-        for fc in range(n_fchunks):
-            acc = acc + segment_chroma_sum(
-                start_hi + fc * fchunk * hop_hi,
-                start_lo + fc * fchunk * hop_lo,
-                f_valid - fc * fchunk)
-        out.append(acc / jnp.maximum(f_valid, 1))
-    return jnp.stack(out)
+    _, tile_sums = jax.lax.scan(body, None, (tiles_hi, tiles_lo, tile_fvalid))
+    chunk_sums = tile_sums.reshape(cfg.max_chunks, n_fchunks, bpo).sum(axis=1)
+    f_valid_all = tile_fvalid.reshape(cfg.max_chunks, n_fchunks)[:, 0]
+    return chunk_sums / jnp.maximum(f_valid_all, 1)[:, None]
 
 
 def cyclic_xcorr_lag(src_chroma: jnp.ndarray, nc_chroma: jnp.ndarray) -> jnp.ndarray:
