@@ -1,0 +1,58 @@
+"""Corpus manifest driver: decode → bucket → batch → JSONL."""
+
+import json
+
+import numpy as np
+import pytest
+
+from nightcore_analyzer_tpu import native
+from nightcore_analyzer_tpu.batch import driver
+from nightcore_analyzer_tpu.utils import synth
+
+
+def test_read_manifest(tmp_path):
+    m = tmp_path / "m.csv"
+    m.write_text("# comment\n/a/nc.flac,/a/src.flac\n/b/nc.flac,/b/src.flac,2.5\n")
+    rows = driver.read_manifest(m)
+    assert rows == [("/a/nc.flac", "/a/src.flac", 0.0),
+                    ("/b/nc.flac", "/b/src.flac", 2.5)]
+
+
+def test_analyze_manifest_end_to_end(tmp_path, monkeypatch):
+    sr = 22050
+    pairs = []
+    for i, f in enumerate([1.2, 1.25]):
+        src = synth.music_like(24.0, sr, bpm=165.0, seed=20 + i, chord_bars=0.5)
+        nc = synth.speed_shift(src, f)
+        nc_p = tmp_path / f"nc{i}.flac"
+        src_p = tmp_path / f"src{i}.flac"
+        native.encode_flac(str(nc_p), nc, sr)
+        native.encode_flac(str(src_p), src, sr)
+        pairs.append((nc_p, src_p, f))
+
+    manifest = tmp_path / "pairs.csv"
+    manifest.write_text(
+        "\n".join(f"{nc},{src}" for nc, src, _ in pairs) +
+        f"\n{tmp_path}/missing.flac,{pairs[0][1]}\n")
+    out = tmp_path / "results.jsonl"
+
+    # toy-scale config so the CPU test compiles fast
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.batch import driver as drv
+    tiny = AnalyzerConfig(
+        max_duration_sec=30.0, window_sec=3.0, hop_sec=1.5, chunk_sec=5.0,
+        n_bootstrap=128, max_beats=512, max_beats_window=32,
+        frame_chunk=256, window_chunk=4, min_beats=3, ibi_min_ibis=3)
+    monkeypatch.setattr(drv, "DEFAULT_CONFIG", tiny)
+    monkeypatch.setattr(drv, "bucket_for_duration", lambda d: 30.0)
+
+    n_ok, n_fail = driver.analyze_manifest(manifest, out, batch=4,
+                                           log=lambda m: None)
+    assert (n_ok, n_fail) == (2, 1)
+
+    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(recs) == 3
+    for rec, (_, _, f) in zip(recs[:2], pairs):
+        assert rec["tempo_ratio"] == pytest.approx(f, rel=0.04)
+        assert "rubberband" in rec
+    assert "error" in recs[2]
