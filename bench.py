@@ -45,7 +45,8 @@ def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
     for i in range(n_pairs):
         bpm = [122.0, 128.0, 140.0, 150.0][i % 4]
         factor = [1.18, 1.22, 1.25, 1.30][(i // 4) % 4]
-        src = synth.music_like(duration, sr, bpm=bpm, seed=i)
+        src = synth.music_like(duration, sr, bpm=bpm, seed=i,
+                               tempo_drift=0.008)
         nc = synth.speed_shift(src, factor)
         pairs.append((nc, src))
         log(f"  corpus pair {i + 1}/{n_pairs} (bpm {bpm}, factor {factor})")
@@ -122,7 +123,8 @@ def measure_cpu_baseline(duration: float, full_duration: float,
             return d["sec_per_pair"] * full_duration / duration
     from nightcore_analyzer_tpu.utils import synth
     from cpu_baseline import analyze_pair_cpu
-    src = synth.music_like(duration, 22050, bpm=128.0, seed=999)
+    src = synth.music_like(duration, 22050, bpm=128.0, seed=999,
+                           tempo_drift=0.008)
     nc = synth.speed_shift(src, 1.25)
     log(f"measuring CPU baseline on one {duration:.0f}s pair…")
     t0 = time.time()

@@ -280,6 +280,7 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
     if bool(g(pa.ibi_valid)):
         result.ibi_ratio = float(g(pa.ibi_ratio))
         result.ibi_ci = (float(g(pa.ibi_lo)), float(g(pa.ibi_hi)))
+        result.ibi_refined_ratio = float(g(pa.ibi_refined_ratio))
 
     off = float(g(pa.intro_offset)) / sr
     result.intro_offset_sec = off if off > 0 else None

@@ -45,6 +45,7 @@ class AnalysisResult:
     pitch_method: Optional[str] = None      # "chroma_xcorr" (| "chroma+melodia")
     ibi_ratio: Optional[float] = None
     ibi_ci: Optional[Tuple[float, float]] = None
+    ibi_refined_ratio: Optional[float] = None   # mean-IBI (sub-grid) estimate
     xcorr_ratio: Optional[float] = None
     xcorr_quality: Optional[float] = None
     intro_offset_sec: Optional[float] = None
@@ -87,6 +88,10 @@ class AnalysisResult:
                 f"IBI ratio       : {self.ibi_ratio:.6f}"
                 f"  95% CI [{self.ibi_ci[0]:.6f}, {self.ibi_ci[1]:.6f}]"
                 "  (hop-64 beat timestamps — highest precision)")
+        if self.ibi_refined_ratio is not None:
+            lines.append(
+                f"IBI mean ratio  : {self.ibi_refined_ratio:.6f}"
+                "  (grid-interpolating mean — finest estimate)")
 
         tr = self.tempo_ratio
         if tr > 0:

@@ -50,6 +50,8 @@ def to_dict(result: AnalysisResult) -> dict:
     if result.ibi_ratio is not None and result.ibi_ci is not None:
         d["ibi_ratio"] = round(result.ibi_ratio, 8)
         d["ibi_ci_95"] = [round(result.ibi_ci[0], 8), round(result.ibi_ci[1], 8)]
+    if result.ibi_refined_ratio is not None:
+        d["ibi_mean_ratio"] = round(result.ibi_refined_ratio, 8)
     return d
 
 

@@ -40,20 +40,37 @@ def click_track(bpm: float, duration: float, sr: int = 22050,
 
 def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
                root_hz: float = 220.0, seed: int = 0,
-               chord_bars: float = 2.0) -> np.ndarray:
+               chord_bars: float = 2.0,
+               tempo_drift: float = 0.0) -> np.ndarray:
     """Music-like signal: chord pad (root + harmonics over a small chord
     progression) amplitude-pulsed on the beat, plus percussive clicks and a
     bass line.  Has enough spectral flux for onset/beat tracking and enough
-    stable harmonic energy for chroma pitch estimation."""
+    stable harmonic energy for chroma pitch estimation.
+
+    ``tempo_drift`` adds a slow sinusoidal tempo wobble of that relative
+    amplitude (e.g. 0.008 = ±0.8%).  Human performances and real recordings
+    always carry some drift; it dithers the analyzers' frame/lag grids the
+    way real music does, whereas a mathematically constant tempo makes every
+    window snap to the same quantized BPM (the degenerate-CI case the
+    reference documents, consensus.py:472-500)."""
     rng = np.random.default_rng(seed)
     n = int(duration * sr)
     t = np.arange(n) / sr
 
+    # beat phase with optional drift: inst_bpm(t) = bpm·(1 + d·sin(2πt/T))
+    if tempo_drift:
+        T = 23.0
+        inst = bpm / 60.0 * (1.0 + tempo_drift * np.sin(2 * np.pi * t / T))
+        beat_phase_abs = np.cumsum(inst) / sr
+    else:
+        beat_phase_abs = t * bpm / 60.0
+    beat_frac = beat_phase_abs % 1.0
+
     # chord progression: I - vi - IV - V (semitone offsets), chord_bars each
     prog = [0, -3, 5, 7]
-    bar_sec = 4 * 60.0 / bpm
-    seg = chord_bars * bar_sec
-    chord_idx = np.minimum((t / seg).astype(np.int64) % len(prog), len(prog) - 1)
+    beats_per_chord = 4 * chord_bars
+    chord_idx = ((beat_phase_abs / beats_per_chord).astype(np.int64)
+                 % len(prog))
 
     y = np.zeros(n, np.float64)
     for ratio, amp in [(1.0, 0.22), (2.0, 0.12), (3.0, 0.07), (5.0 / 4.0, 0.1),
@@ -63,12 +80,18 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
         y += amp * np.sin(phase)
 
     # beat-synchronous amplitude pulse (gives the onset envelope its peaks)
-    beat_phase = (t * bpm / 60.0) % 1.0
-    env = 0.35 + 0.65 * np.exp(-beat_phase / 0.12)
+    env = 0.35 + 0.65 * np.exp(-beat_frac / 0.12)
     y *= env
 
-    # percussive clicks on the beat
-    y += click_track(bpm, duration, sr, click_hz=2500.0, seed=seed + 1) * 2.0
+    # percussive clicks at the (possibly drifting) beat grid
+    t_click = np.arange(int(0.03 * sr)) / sr
+    burst = 2.0 * (np.exp(-t_click / 0.008) *
+                   np.sin(2 * np.pi * 2500.0 * t_click))
+    starts = np.flatnonzero(np.diff(np.floor(beat_phase_abs)) > 0) + 1
+    for s in starts:
+        e = min(n, s + len(burst))
+        y[s:e] += burst[:e - s]
+
     # bass on the beat
     fbass = root_hz / 2.0 * 2.0 ** (np.take(prog, chord_idx) / 12.0)
     y += 0.15 * np.sin(2 * np.pi * np.cumsum(fbass) / sr) * env
