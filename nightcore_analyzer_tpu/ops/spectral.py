@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import filters
-from .spectrum import frame_indices
 
 __all__ = ["SpectralArrays", "spectral_stats", "build_spectral_fn"]
 
@@ -46,19 +45,23 @@ class SpectralArrays(NamedTuple):
 
 
 def _stft_chunks(y, n_frames, chunk, window):
-    """Yields per-chunk |S| via lax.scan; returns stacked (frames, bins)."""
-    seg_len = (chunk - 1) * HOP + N_FFT
+    """Per-chunk |S| body for lax.scan (gather-free interleaved framing;
+    magnitudes are un-permuted to time order per chunk)."""
+    from .spectrum import frame_interleaved, interleave_params
+    P, K, c_padded, perm = interleave_params(chunk, N_FFT, HOP)
+    assert c_padded == chunk, "chunk must be a multiple of N_FFT//HOP"
+    seg_len = (K - 1) * N_FFT + (P - 1) * HOP + N_FFT
     pad = N_FFT // 2
     ypad = jnp.pad(y, (pad, pad + seg_len))
-    idx = jnp.asarray(frame_indices(chunk, N_FFT, HOP))
+    perm_j = jnp.asarray(perm)
     n_chunks = -(-n_frames // chunk)
 
     def body(carry, c):
         seg = jax.lax.dynamic_slice(ypad, (c * chunk * HOP,), (seg_len,))
-        frames = jnp.take(seg, idx, axis=0)
+        frames = frame_interleaved(seg, chunk, N_FFT, HOP)
         spec = jnp.fft.rfft(frames * window, axis=-1)
         mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
-        return carry, mag
+        return carry, jnp.take(mag, perm_j, axis=0)
 
     return n_chunks, body
 
