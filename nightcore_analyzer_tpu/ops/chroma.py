@@ -135,8 +135,9 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
         seg_hi, seg_lo, f_valid = tile
         fr_hi = frame_interleaved(seg_hi, fchunk, n_fft, hop_hi)[:fchunk]
         fr_lo = frame_interleaved(seg_lo, fchunk, n_fft, hop_lo)[:fchunk]
-        sp_hi = jnp.fft.rfft(fr_hi * window, axis=-1)
-        sp_lo = jnp.fft.rfft(fr_lo * window, axis=-1)
+        from .fft_mxu import rfft_auto
+        sp_hi = rfft_auto(fr_hi * window)
+        sp_lo = rfft_auto(fr_lo * window)
         cq_lo = jnp.take(_cqt_mag(sp_lo, lo_basis), perm_lo[:fchunk], axis=0)
         cq_hi = jnp.take(_cqt_mag(sp_hi, hi_basis), perm_hi[:fchunk], axis=0)
         cq = jnp.concatenate([cq_lo, cq_hi], axis=-1)

@@ -41,18 +41,24 @@ def _factors(n: int):
             T.real.astype(bf), T.imag.astype(bf))
 
 
-_DTYPE = jnp.float32     # set to jnp.bfloat16 for ~2x speed at -50 dB noise
+def _mm(a, b, dtype):
+    if dtype == jnp.float32:
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(a.astype(dtype), b.astype(dtype),
+                      preferred_element_type=jnp.float32)
 
 
-def _mm(a, b):
-    return jnp.matmul(a.astype(_DTYPE), b.astype(_DTYPE),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
-def rfft_mxu(x: jnp.ndarray) -> jnp.ndarray:
+def rfft_mxu(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """rfft over the last axis (length 1024/2048/4096/8192) via MXU matmuls.
-    Returns complex64 (..., n//2 + 1)."""
+    Returns complex64 (..., n//2 + 1).
+
+    ``dtype=jnp.bfloat16`` (default): ~1.6× faster than XLA's VPU FFT with a
+    spectrum noise floor ≈ −50 dB of the frame peak — far below the musical
+    contrasts the analyzer thresholds on (onset flux peaks, 36-bin chroma
+    argmax, 10 %-band comparisons).  ``dtype=jnp.float32`` runs the matmuls
+    at HIGHEST precision (exact to ~1e-7) at ~3× the cost.
+    """
     n = x.shape[-1]
     n1, n2, F2r, F2i, F1r, F1i, Tr, Ti = _factors(n)
     lead = x.shape[:-1]
@@ -61,16 +67,16 @@ def rfft_mxu(x: jnp.ndarray) -> jnp.ndarray:
     x2 = jnp.swapaxes(x.reshape(lead + (n2, n1)), -1, -2)
 
     # stage 1: DFT-n2 → Y (..., n1, k2)
-    yr = _mm(x2, jnp.asarray(F2r.T))
-    yi = _mm(x2, jnp.asarray(F2i.T))
+    yr = _mm(x2, jnp.asarray(F2r.T), dtype)
+    yi = _mm(x2, jnp.asarray(F2i.T), dtype)
 
     # twiddle (n1, k2)
     zr = yr * Tr - yi * Ti
     zi = yr * Ti + yi * Tr
 
     # stage 2: DFT-n1 over n1 → X (..., k1, k2)
-    Xr = _mm(zr.swapaxes(-1, -2), F1r) - _mm(zi.swapaxes(-1, -2), F1i)
-    Xi = _mm(zr.swapaxes(-1, -2), F1i) + _mm(zi.swapaxes(-1, -2), F1r)
+    Xr = _mm(zr.swapaxes(-1, -2), F1r, dtype) - _mm(zi.swapaxes(-1, -2), F1i, dtype)
+    Xi = _mm(zr.swapaxes(-1, -2), F1i, dtype) + _mm(zi.swapaxes(-1, -2), F1r, dtype)
     # (..., k2, k1) → flat k = k2 + n2*k1  →  transpose to (k1, k2) then flat
     Xr = jnp.swapaxes(Xr, -1, -2).reshape(lead + (n,))
     Xi = jnp.swapaxes(Xi, -1, -2).reshape(lead + (n,))
@@ -84,8 +90,8 @@ def _use_mxu() -> bool:
         return False
 
 
-def rfft_auto(x: jnp.ndarray) -> jnp.ndarray:
+def rfft_auto(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """MXU rfft on TPU; exact ``jnp.fft.rfft`` elsewhere."""
     if _use_mxu() and x.shape[-1] in (1024, 2048, 4096, 8192):
-        return rfft_mxu(x)
+        return rfft_mxu(x, dtype)
     return jnp.fft.rfft(x, axis=-1)

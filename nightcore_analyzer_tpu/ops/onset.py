@@ -51,7 +51,8 @@ def _stft_mel_power(seg_frames: jnp.ndarray, window: jnp.ndarray,
     flux path; bf16's ~0.4% relative error is ~0.02 dB — far below musical
     onset contrast), accumulating in f32.
     """
-    spec = jnp.fft.rfft(seg_frames * window, axis=-1)
+    from .fft_mxu import rfft_auto
+    spec = rfft_auto(seg_frames * window)
     mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     return jnp.matmul(mag2.astype(jnp.bfloat16), mel_T.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
