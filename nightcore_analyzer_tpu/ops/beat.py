@@ -98,7 +98,8 @@ def _select_tail(cum: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     lmax = (cum > prev) & (cum >= nxt)
     valid = jnp.arange(F) < n_valid
     maxes = lmax & valid
-    med = masked_median(cum, maxes)
+    from .stats import masked_median_bisect
+    med = masked_median_bisect(cum, maxes)
     cand = maxes & (cum >= 0.5 * med)
     return jnp.max(jnp.where(cand, jnp.arange(F), -1))
 

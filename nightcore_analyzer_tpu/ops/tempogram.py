@@ -36,6 +36,41 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def _acf_cos_matrix(nfft: int, win_length: int) -> np.ndarray:
+    """Cosine matrix turning a power spectrum into its autocorrelation:
+    ``ac = mag2 @ M`` with ``M[k, l] = w_k·cos(2πkl/nfft)/nfft``
+    (w = 1 for DC/Nyquist, 2 otherwise) — the irfft of a real-even spectrum
+    as a single MXU matmul instead of a VPU inverse FFT."""
+    k = np.arange(nfft // 2 + 1)[:, None]
+    l = np.arange(win_length)[None, :]
+    M = np.cos(2.0 * np.pi * k * l / nfft) / nfft
+    M[1:-1] *= 2.0
+    return M.astype(np.float32)
+
+
+def _acf_from_frames(windowed: jnp.ndarray, nfft: int, win_length: int):
+    """|rfft|² → autocorrelation[:win_length] for (..., win_length) frames.
+
+    On TPU the inverse transform becomes a cosine matmul on the MXU (the
+    irfft of a real-even spectrum), at f32/HIGHEST precision — the ACF
+    argmax decides between near-tied harmonic peaks, so bf16's ~0.4% noise
+    is NOT acceptable here (it flips tempo octaves).  The forward rfft stays
+    exact for the same reason.
+    """
+    from .fft_mxu import _use_mxu
+    spec = jnp.fft.rfft(windowed, n=nfft, axis=-1)
+    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if _use_mxu() and nfft in (1024, 2048, 4096, 8192):
+        M = jnp.asarray(_acf_cos_matrix(nfft, win_length))
+        return jnp.matmul(mag2, M, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.fft.irfft(mag2, n=nfft, axis=-1)[..., :win_length]
+
+
 def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
                        win_length: int, stride: int = 1,
                        chunk: int = 64) -> jnp.ndarray:
@@ -57,9 +92,7 @@ def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
     def body(acc, c):
         t0 = c * (chunk * stride)
         cols = jnp.take(envp, local + t0, axis=0)            # (chunk, win)
-        spec = jnp.fft.rfft(cols * window, n=nfft, axis=-1)
-        ac = jnp.fft.irfft(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2,
-                           n=nfft, axis=-1)[..., :win_length]
+        ac = _acf_from_frames(cols * window, nfft, win_length)
         peak = jnp.max(jnp.abs(ac), axis=-1, keepdims=True)
         ac = jnp.where(peak > 1e-20, ac / jnp.maximum(peak, 1e-20), 0.0)
         t_idx = t0 + jnp.arange(chunk) * stride
