@@ -266,13 +266,7 @@ def _print_verification_result(result, hqnc: Path, ncog: Path) -> bool:
     return tempo_ok
 
 
-def quality_label(quality: float) -> str:
-    """Human-readable xcorr quality label (reference xcorr.py:262-268)."""
-    if quality >= 0.70:
-        return "good match"
-    if quality >= 0.40:
-        return "moderate match"
-    return "poor match — possible content mismatch or heavy lossy artefacts"
+from .xcorr import quality_label  # noqa: E402  (reference xcorr.py:262-268)
 
 
 def _estimate_xcorr(path_a: Path, path_b: Path) -> tuple[float, float]:
