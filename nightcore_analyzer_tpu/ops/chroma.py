@@ -50,6 +50,35 @@ def _bases(cfg: AnalyzerConfig):
     return (lo_re.T, lo_im.T), (hi_re.T, hi_im.T)     # (n_rfft, bins)
 
 
+@lru_cache(maxsize=4)
+def _time_bases(cfg: AnalyzerConfig):
+    """Time-domain CQT kernels (frame hann folded in): the DFT and the
+    spectral-kernel matmul fused into a single MXU matmul per stream."""
+    bpo = cfg.chroma_bins_per_octave
+    n_low = cfg.chroma_low_octaves * bpo
+    n_high = (cfg.chroma_n_octaves - cfg.chroma_low_octaves) * bpo
+    w = filters.hann(cfg.chroma_n_fft)
+    lo = filters.cqt_time_kernels(cfg.sample_rate / 4.0, cfg.chroma_n_fft,
+                                  cfg.chroma_fmin, n_low, bpo, frame_window=w)
+    hi = filters.cqt_time_kernels(
+        float(cfg.sample_rate), cfg.chroma_n_fft,
+        cfg.chroma_fmin * 2.0 ** cfg.chroma_low_octaves, n_high, bpo,
+        frame_window=w)
+    return lo, hi                                     # each (n_fft, bins)
+
+
+def _cqt_mag_time(frames: jnp.ndarray, basis) -> jnp.ndarray:
+    """|frames @ (K_re + i·K_im)| — fused windowed-DFT×CQT, bf16 MXU."""
+    k_re, k_im = basis
+    bf = jnp.bfloat16
+    fr = frames.astype(bf)
+    re = jnp.matmul(fr, jnp.asarray(k_re).astype(bf),
+                    preferred_element_type=jnp.float32)
+    im = jnp.matmul(fr, jnp.asarray(k_im).astype(bf),
+                    preferred_element_type=jnp.float32)
+    return jnp.sqrt(re * re + im * im + 1e-30)
+
+
 def _cqt_mag(spec: jnp.ndarray, basis) -> jnp.ndarray:
     """|spec @ conj-kernelᵀ| for complex rfft frames.  (…, n_rfft) → (…, bins)."""
     # bf16 MXU matmuls with f32 accumulation — the output only feeds a
@@ -131,15 +160,23 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
     tiles_lo = jnp.stack(tiles_lo)
     tile_fvalid = jnp.stack(tile_fvalid)
 
+    from .fft_mxu import _use_mxu
+    use_time_kernels = _use_mxu()
+    if use_time_kernels:
+        lo_tb, hi_tb = _time_bases(cfg)
+
     def body(_, tile):
         seg_hi, seg_lo, f_valid = tile
         fr_hi = frame_interleaved(seg_hi, fchunk, n_fft, hop_hi)[:fchunk]
         fr_lo = frame_interleaved(seg_lo, fchunk, n_fft, hop_lo)[:fchunk]
-        from .fft_mxu import rfft_auto
-        sp_hi = rfft_auto(fr_hi * window)
-        sp_lo = rfft_auto(fr_lo * window)
-        cq_lo = jnp.take(_cqt_mag(sp_lo, lo_basis), perm_lo[:fchunk], axis=0)
-        cq_hi = jnp.take(_cqt_mag(sp_hi, hi_basis), perm_hi[:fchunk], axis=0)
+        if use_time_kernels:
+            cq_lo = jnp.take(_cqt_mag_time(fr_lo, lo_tb), perm_lo[:fchunk], axis=0)
+            cq_hi = jnp.take(_cqt_mag_time(fr_hi, hi_tb), perm_hi[:fchunk], axis=0)
+        else:
+            sp_hi = jnp.fft.rfft(fr_hi * window, axis=-1)
+            sp_lo = jnp.fft.rfft(fr_lo * window, axis=-1)
+            cq_lo = jnp.take(_cqt_mag(sp_lo, lo_basis), perm_lo[:fchunk], axis=0)
+            cq_hi = jnp.take(_cqt_mag(sp_hi, hi_basis), perm_hi[:fchunk], axis=0)
         cq = jnp.concatenate([cq_lo, cq_hi], axis=-1)
         ch = cq.reshape(fchunk, cfg.chroma_n_octaves, bpo).sum(axis=1)
         peak = jnp.max(ch, axis=-1, keepdims=True)

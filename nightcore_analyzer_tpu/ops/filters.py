@@ -133,6 +133,34 @@ def cqt_kernels(sr: float, n_fft: int, fmin: float, n_bins: int,
     return K.real.astype(np.float32), K.imag.astype(np.float32)
 
 
+def cqt_time_kernels(sr: float, n_fft: int, fmin: float, n_bins: int,
+                     bins_per_octave: int = 36,
+                     frame_window: np.ndarray | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Time-domain constant-Q kernels with the frame analysis window folded
+    in: ``CQT = frames @ (K_re + i·K_im)`` — the DFT and the spectral-kernel
+    matmul fused into one MXU matmul.  Matches :func:`cqt_kernels` applied
+    to ``rfft(frame·window)`` up to a global scale (chroma is per-frame
+    max-normalized downstream, so scale is irrelevant).
+
+    Returns ``(K_re, K_im)``, each ``(n_fft, n_bins)`` float32.
+    """
+    Q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    K = np.zeros((n_fft, n_bins), dtype=np.complex128)
+    for k in range(n_bins):
+        fk = fmin * 2.0 ** (k / bins_per_octave)
+        Nk = int(min(n_fft, round(Q * sr / fk)))
+        Nk = max(Nk, 4)
+        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(Nk) / Nk)
+        t = (np.arange(Nk) - (Nk - 1) / 2.0)
+        kern = win * np.exp(-2j * np.pi * fk * t / sr) / np.sum(win)
+        start = (n_fft - Nk) // 2
+        K[start:start + Nk, k] = kern
+    if frame_window is not None:
+        K *= frame_window[:, None]
+    return K.real.astype(np.float32), K.imag.astype(np.float32)
+
+
 # ── decimation low-pass ──────────────────────────────────────────────────────
 
 def halfband_lowpass(n_taps: int = 97, beta: float = 8.0) -> np.ndarray:

@@ -38,6 +38,19 @@ def _mel_basis(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     return filters.mel_filterbank(sr, n_fft, n_mels).T.copy()  # (1+n_fft//2, n_mels)
 
 
+@lru_cache(maxsize=8)
+def _dft_windowed(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT matrices with the Hann analysis window folded in:
+    ``spectrum = frames @ F`` — one clean MXU matmul per block instead of a
+    VPU FFT plus layout shuffles (~2× faster end-to-end in the mel scans)."""
+    w = filters.hann(n_fft).astype(np.float64)
+    n = np.arange(n_fft)[:, None]
+    b = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * b / n_fft
+    return ((np.cos(ang) * w[:, None]).astype(np.float32),
+            (np.sin(ang) * w[:, None]).astype(np.float32))
+
+
 def onset_pad_width(n_fft: int, hop: int) -> int:
     """librosa onset_strength lag/centering compensation (frames)."""
     return 1 + n_fft // (2 * hop)
@@ -47,14 +60,26 @@ def _stft_mel_power(seg_frames: jnp.ndarray, window: jnp.ndarray,
                     mel_T: jnp.ndarray) -> jnp.ndarray:
     """frames (..., n, n_fft) -> mel power (..., n, n_mels).
 
-    The mel fold runs on the MXU in bfloat16 (mel power only feeds a dB →
-    flux path; bf16's ~0.4% relative error is ~0.02 dB — far below musical
-    onset contrast), accumulating in f32.
+    TPU path: windowed DFT as two bf16 MXU matmuls (window folded into the
+    DFT matrices) → |·|² → bf16 mel matmul, f32 accumulation throughout.
+    Mel power only feeds a dB → flux path, where bf16's ~0.4% relative
+    error is ~0.02 dB — far below musical onset contrast.  Non-TPU backends
+    use the exact rfft (golden-value tests run there).
     """
-    from .fft_mxu import rfft_auto
-    spec = rfft_auto(seg_frames * window)
-    mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    return jnp.matmul(mag2.astype(jnp.bfloat16), mel_T.astype(jnp.bfloat16),
+    from .fft_mxu import _use_mxu
+    bf = jnp.bfloat16
+    if _use_mxu():
+        Fr, Fi = _dft_windowed(seg_frames.shape[-1])
+        fr = seg_frames.astype(bf)
+        xr = jnp.matmul(fr, jnp.asarray(Fr).astype(bf),
+                        preferred_element_type=jnp.float32)
+        xi = jnp.matmul(fr, jnp.asarray(Fi).astype(bf),
+                        preferred_element_type=jnp.float32)
+        mag2 = xr * xr + xi * xi
+    else:
+        spec = jnp.fft.rfft(seg_frames * window, axis=-1)
+        mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.matmul(mag2.astype(bf), mel_T.astype(bf),
                       preferred_element_type=jnp.float32)
 
 
