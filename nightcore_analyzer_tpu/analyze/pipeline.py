@@ -20,7 +20,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..config import AnalyzerConfig, DEFAULT_CONFIG, bucket_for_duration
-from ..signal.io import load_audio, SAMPLE_RATE, WINDOW_SEC, HOP_SEC, \
+from ..signal.io import load_audio, WINDOW_SEC, HOP_SEC, \
     ENERGY_GATE_DB, SILENCE_STRIP_DB
 from .consensus import result_from_pair_analysis
 from .result import AnalysisResult
@@ -36,10 +36,13 @@ def analyze_arrays(nc_audio: np.ndarray, src_audio: np.ndarray,
     ``(AnalysisResult, PairAnalysis)``."""
     import jax.numpy as jnp
     from ..models.analyzer import build_analyze_fn
+    from ..utils.tracing import StageTimer, device_trace
 
     def _log(msg):
         if log is not None:
             log(msg)
+
+    timer = StageTimer(log=_log)
 
     sr = cfg.sample_rate
     max_dur = max(len(nc_audio), len(src_audio)) / sr
@@ -57,12 +60,18 @@ def analyze_arrays(nc_audio: np.ndarray, src_audio: np.ndarray,
 
     _log(f"Device program: {bucket:.0f} s bucket"
          f" ({cfg.n_window_slots} window slots, {cfg.max_chunks} pitch chunks)")
-    fn = build_analyze_fn(cfg, auto_align=auto_align and src_trim_sec == 0.0,
-                          compute_pitch=compute_pitch)
-    pa = fn(jnp.asarray(nc_buf), jnp.asarray(n_nc),
-            jnp.asarray(src_buf), jnp.asarray(n_src),
-            jnp.asarray(int(src_trim_sec * sr), jnp.int32))
-    result = result_from_pair_analysis(pa, cfg, compute_pitch=compute_pitch)
+    with timer.stage("compile/load"):
+        fn = build_analyze_fn(cfg, auto_align=auto_align and src_trim_sec == 0.0,
+                              compute_pitch=compute_pitch)
+    with timer.stage("device analysis"), device_trace():
+        pa = fn(jnp.asarray(nc_buf), jnp.asarray(n_nc),
+                jnp.asarray(src_buf), jnp.asarray(n_src),
+                jnp.asarray(int(src_trim_sec * sr), jnp.int32))
+        import numpy as _np
+        _np.asarray(pa.tempo_ratio)          # materialize = wait for device
+    with timer.stage("consensus"):
+        result = result_from_pair_analysis(pa, cfg, compute_pitch=compute_pitch)
+    timer.report()
     return result, pa
 
 

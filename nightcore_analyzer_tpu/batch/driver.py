@@ -52,20 +52,39 @@ def read_manifest(path: Path) -> List[Tuple[str, str, float]]:
 
 
 def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
-                     compute_pitch: bool = True,
+                     compute_pitch: bool = True, resume: bool = False,
                      log=_log) -> Tuple[int, int]:
-    """Returns (n_ok, n_failed)."""
+    """Returns (n_ok, n_failed).
+
+    ``resume=True`` makes runs restartable (SURVEY §5 checkpoint/resume):
+    pairs whose (nightcore, source) paths already have a non-error record in
+    ``output`` are skipped and their records carried over.
+    """
     from ..signal.io import load_audio
     from .. import export
 
     rows = read_manifest(manifest)
     log(f"manifest: {len(rows)} pairs")
 
+    done: dict = {}
+    if resume and output.exists():
+        for line in output.read_text(encoding="utf-8").splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            files = rec.get("files", {})
+            if "error" not in rec and files:
+                done[(files.get("nightcore"), files.get("source"))] = rec
+        log(f"resume: {len(done)} pairs already complete in {output}")
+
     # ── decode + bucket ──────────────────────────────────────────────────────
     buckets: dict = defaultdict(list)    # bucket_sec -> [(idx, nc, src, trim)]
     failed: dict = {}
     t0 = time.time()
     for idx, (nc_path, src_path, trim) in enumerate(rows):
+        if (nc_path, src_path) in done:
+            continue
         try:
             nc, sr = load_audio(nc_path)
             src, _ = load_audio(src_path)
@@ -100,6 +119,11 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
     n_ok = n_fail = 0
     with open(output, "w", encoding="utf-8") as fh:
         for idx, (nc_path, src_path, trim) in enumerate(rows):
+            prev = done.get((nc_path, src_path))
+            if prev is not None:
+                fh.write(json.dumps(prev) + "\n")
+                n_ok += 1
+                continue
             rec = {"files": {"nightcore": nc_path, "source": src_path}}
             r = results_by_idx.get(idx)
             if idx in failed:
@@ -129,6 +153,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="pairs per device batch")
     ap.add_argument("--no-pitch", action="store_true",
                     help="skip the chroma pitch stage")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip pairs already completed in --output")
     args = ap.parse_args(argv)
 
     if not args.manifest.is_file():
@@ -136,7 +162,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
     n_ok, n_fail = analyze_manifest(args.manifest, args.output,
                                     batch=args.batch,
-                                    compute_pitch=not args.no_pitch)
+                                    compute_pitch=not args.no_pitch,
+                                    resume=args.resume)
     return 0 if n_fail == 0 else 1
 
 

@@ -56,3 +56,44 @@ def test_analyze_manifest_end_to_end(tmp_path, monkeypatch):
         assert rec["tempo_ratio"] == pytest.approx(f, rel=0.04)
         assert "rubberband" in rec
     assert "error" in recs[2]
+
+
+def test_resume_skips_completed(tmp_path, monkeypatch):
+    """--resume carries over completed records and only reruns the rest."""
+    import json as _json
+    from nightcore_analyzer_tpu.batch import driver as drv
+
+    m = tmp_path / "m.csv"
+    m.write_text("/x/nc1.flac,/x/src1.flac\n/x/nc2.flac,/x/src2.flac\n")
+    out = tmp_path / "r.jsonl"
+    out.write_text(_json.dumps({
+        "files": {"nightcore": "/x/nc1.flac", "source": "/x/src1.flac"},
+        "tempo_ratio": 1.25, "classification": "pure_nightcore"}) + "\n")
+
+    loads = []
+
+    def fake_load(path, sr=22050):
+        loads.append(path)
+        raise RuntimeError("decode not expected to succeed in this test")
+
+    import nightcore_analyzer_tpu.signal.io as sio
+    monkeypatch.setattr(sio, "load_audio", fake_load)
+
+    n_ok, n_fail = drv.analyze_manifest(m, out, resume=True,
+                                        log=lambda s: None)
+    # pair 1 carried over untouched; pair 2 attempted (and failed decode)
+    assert (n_ok, n_fail) == (1, 1)
+    assert all("nc1" not in p for p in loads)
+    recs = [_json.loads(line) for line in out.read_text().splitlines()]
+    assert recs[0]["tempo_ratio"] == 1.25
+    assert "error" in recs[1]
+
+
+def test_stage_timer(capsys):
+    from nightcore_analyzer_tpu.utils.tracing import StageTimer
+    t = StageTimer(log=print, enabled=True)
+    with t.stage("alpha"):
+        pass
+    t.report()
+    outp = capsys.readouterr().out
+    assert "[trace] alpha" in outp and "stage totals" in outp
