@@ -1,0 +1,129 @@
+"""TPU-path math, tested directly on CPU (the functions are backend-agnostic
+matmul formulations; in production they are gated to TPU by ``_use_mxu``).
+
+Guards the MXU-specialized branches — factored rfft, windowed-DFT mel,
+cosine-matmul ACF, time-domain CQT kernels — which CPU CI would otherwise
+never execute.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nightcore_analyzer_tpu.ops import filters
+from nightcore_analyzer_tpu.ops.fft_mxu import rfft_mxu
+from nightcore_analyzer_tpu.ops.tempogram import _acf_cos_matrix
+from nightcore_analyzer_tpu.ops.onset import _dft_windowed, _mel_basis
+
+
+def test_rfft_mxu_f32_exact(rng):
+    for n in (1024, 2048, 4096):
+        x = rng.normal(size=(3, n)).astype(np.float32)
+        z = rfft_mxu(jnp.asarray(x), dtype=jnp.float32)
+        got = np.asarray(jnp.real(z)) + 1j * np.asarray(jnp.imag(z))
+        want = np.fft.rfft(x, axis=-1)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_rfft_mxu_bf16_noise_floor(rng):
+    x = rng.normal(size=(4, 2048)).astype(np.float32)
+    z = rfft_mxu(jnp.asarray(x), dtype=jnp.bfloat16)
+    got = np.asarray(jnp.real(z)) + 1j * np.asarray(jnp.imag(z))
+    want = np.fft.rfft(x, axis=-1)
+    # documented contract: noise ≲ -45 dB of the spectral peak
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 10 ** (-45 / 20)
+
+
+def test_acf_cos_matrix_equals_irfft(rng):
+    nfft, win = 1024, 344
+    x = rng.normal(size=(5, win)).astype(np.float32)
+    spec = np.fft.rfft(x, n=nfft, axis=-1)
+    mag2 = np.abs(spec) ** 2
+    want = np.fft.irfft(mag2, n=nfft, axis=-1)[:, :win]
+    got = mag2 @ _acf_cos_matrix(nfft, win)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dft_windowed_equals_windowed_rfft(rng):
+    n_fft = 2048
+    Fr, Fi = _dft_windowed(n_fft)
+    x = rng.normal(size=(3, n_fft)).astype(np.float32)
+    w = filters.hann(n_fft)
+    want = np.fft.rfft(x * w, axis=-1)
+    got = (x @ Fr) + 1j * (x @ Fi)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_dft_mel_power_matches_fft_path(rng):
+    """The full windowed-DFT → mel pipeline ≈ rfft → mel (f32 matrices)."""
+    n_fft, sr = 2048, 22050
+    Fr, Fi = _dft_windowed(n_fft)
+    mel_T = _mel_basis(sr, n_fft, 128)
+    w = filters.hann(n_fft)
+    x = rng.normal(size=(6, n_fft)).astype(np.float32) * 0.3
+    spec = np.fft.rfft(x * w, axis=-1)
+    want = (np.abs(spec) ** 2) @ mel_T
+    got = ((x @ Fr) ** 2 + (x @ Fi) ** 2) @ mel_T
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6)
+
+
+def test_cqt_time_kernels_match_freq_path_lag():
+    """Fused time-domain CQT gives the same chroma *shape* (up to scale) as
+    the freq-domain kernels — verified via normalized profiles on a chord."""
+    sr, n_fft = 22050.0, 4096
+    fmin = 32.70319566257483 * 8.0          # C4 stream
+    n_bins = 144
+    w = filters.hann(n_fft)
+
+    t = np.arange(n_fft) / sr
+    frame = sum(np.sin(2 * np.pi * 261.63 * r * t) * a
+                for r, a in [(1, 0.5), (1.5, 0.3), (2, 0.2)]).astype(np.float32)
+
+    k_re, k_im = filters.cqt_kernels(sr, n_fft, fmin, n_bins, 36)
+    spec = np.fft.rfft(frame * w)
+    freq_mag = np.abs(spec @ (k_re.T + 1j * k_im.T))
+
+    t_re, t_im = filters.cqt_time_kernels(sr, n_fft, fmin, n_bins, 36,
+                                          frame_window=w)
+    time_mag = np.abs(frame @ (t_re + 1j * t_im))
+
+    a = freq_mag / freq_mag.max()
+    b = time_mag / time_mag.max()
+    assert np.argmax(a) == np.argmax(b)
+    # profiles agree closely wherever there is actual energy
+    sig = a > 0.05
+    assert np.abs(a - b)[sig].max() < 0.05
+
+
+def test_beatdp_pallas_interpret_matches_scan(rng):
+    """The Pallas DP kernel semantics vs the lax.scan reference — run in
+    Pallas interpret mode so it executes on CPU CI."""
+    from functools import partial
+    import jax.experimental.pallas as pl  # noqa: F401
+    from nightcore_analyzer_tpu.ops import beat
+    from nightcore_analyzer_tpu.ops.pallas import beatdp
+
+    L, F, W = 3, 700, 104
+    env = np.abs(rng.normal(size=(L, F))).astype(np.float32)
+    for l in range(L):
+        env[l, :: 40 + 3 * l] += 6.0
+    periods = jnp.asarray(np.array([40.0, 43.0, 46.0], np.float32))
+    ls = jnp.asarray(env)
+    weak = 0.01 * jnp.max(ls, axis=-1)
+
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return real_call(*args, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(beatdp.pl, "pallas_call", interp_call):
+        cum_p, bl_p = beatdp.dp_forward(ls, periods, weak,
+                                        tightness=100.0, W=W, T=256)
+    cum_s, bl_s = jax.vmap(lambda l, p: beat._dp(l, p, 100.0, W))(ls, periods)
+    assert np.allclose(np.asarray(cum_p), np.asarray(cum_s), rtol=1e-4, atol=1e-3)
+    assert (np.asarray(bl_p) == np.asarray(bl_s)).all()
