@@ -53,6 +53,9 @@ class AnalyzerConfig:
     std_bpm: float = 1.0
     max_tempo: float = 320.0
     tightness: float = 100.0
+    # Parabolic sub-grid interpolation of the ACF tempo peak — beyond the
+    # reference's integer-lag quantization; OFF by default for parity.
+    tempo_subgrid: bool = False
     # Frame stride when aggregating the local-ACF tempogram.  1 == librosa
     # semantics (mean over every onset frame).  The global hop-64 pass uses
     # ibi_tempo_stride to bound compute; the aggregate is a mean so striding

@@ -282,7 +282,8 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
 
     tempo_pick = lambda a, prior: tempogram.tempo_from_acf(  # noqa: E731
         a, prior, hop_length=cfg.tempo_hop, sr=cfg.sample_rate,
-        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo)
+        std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo,
+        subgrid=cfg.tempo_subgrid)
 
     src_bpms = jax.vmap(jax.vmap(
         lambda a: tempo_pick(a, jnp.asarray(120.0))))(acf[:, SRC])

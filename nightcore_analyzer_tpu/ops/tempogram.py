@@ -106,11 +106,19 @@ def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
 
 def tempo_from_acf(acf: jnp.ndarray, start_bpm: jnp.ndarray, *,
                    hop_length: int, sr: float, std_bpm: float = 1.0,
-                   max_tempo: float | None = 320.0) -> jnp.ndarray:
+                   max_tempo: float | None = 320.0,
+                   subgrid: bool = False) -> jnp.ndarray:
     """Prior-weighted argmax over the BPM grid (librosa ``feature.tempo``).
 
     ``start_bpm`` may be a traced scalar (the nightcore prior is data-derived,
     reference ``pipeline.py:174-186``).
+
+    ``subgrid=True`` refines the winning lag with a parabolic fit through the
+    ACF peak's neighbors — a beyond-reference option (``AnalyzerConfig
+    .tempo_subgrid``): the reference's estimator is quantized to the integer
+    lag grid (steps of 2–5 % at high BPM), which its degenerate-CI warning
+    documents; the parabola interpolates between grid points.  OFF by
+    default for parity.
     """
     win_length = acf.shape[-1]
     bpms = jnp.asarray(filters.tempo_frequencies(win_length, hop_length, sr))
@@ -120,4 +128,15 @@ def tempo_from_acf(acf: jnp.ndarray, start_bpm: jnp.ndarray, *,
     logprior = jnp.where(jnp.isfinite(bpms), logprior, -jnp.inf)
     score = jnp.log1p(1e6 * acf) + logprior
     best = jnp.argmax(score, axis=-1)
-    return jnp.take(bpms, best)
+    if not subgrid:
+        return jnp.take(bpms, best)
+    k = jnp.clip(best, 1, win_length - 2)
+    am = jnp.take(acf, k - 1)
+    a0 = jnp.take(acf, k)
+    ap = jnp.take(acf, k + 1)
+    denom = am - 2.0 * a0 + ap
+    off = jnp.where(jnp.abs(denom) > 1e-12,
+                    0.5 * (am - ap) / denom, 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    lag = jnp.maximum(k.astype(jnp.float32) + off, 1e-3)
+    return 60.0 * sr / (hop_length * lag)

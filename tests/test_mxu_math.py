@@ -127,3 +127,23 @@ def test_beatdp_pallas_interpret_matches_scan(rng):
     cum_s, bl_s = jax.vmap(lambda l, p: beat._dp(l, p, 100.0, W))(ls, periods)
     assert np.allclose(np.asarray(cum_p), np.asarray(cum_s), rtol=1e-4, atol=1e-3)
     assert (np.asarray(bl_p) == np.asarray(bl_s)).all()
+
+
+def test_tempo_subgrid_beats_grid(rng):
+    """Parabolic sub-grid tempo lands between the quantized grid points."""
+    from nightcore_analyzer_tpu.ops import tempogram
+    sr, hop, win = 22050.0, 512, 344
+    true_bpm = 126.7                         # deliberately off-grid
+    period = 60.0 * sr / (hop * true_bpm)    # ≈ 20.4 lags
+    lags = np.arange(win, dtype=np.float64)
+    acf = np.exp(-0.5 * ((lags - period) / 1.2) ** 2) \
+        + 0.4 * np.exp(-0.5 * ((lags - 2 * period) / 1.6) ** 2)
+    acf[0] = 1.5
+    grid = float(tempogram.tempo_from_acf(
+        jnp.asarray(acf.astype(np.float32)), jnp.asarray(120.0),
+        hop_length=hop, sr=sr))
+    sub = float(tempogram.tempo_from_acf(
+        jnp.asarray(acf.astype(np.float32)), jnp.asarray(120.0),
+        hop_length=hop, sr=sr, subgrid=True))
+    assert abs(sub - true_bpm) < abs(grid - true_bpm)
+    assert sub == pytest.approx(true_bpm, rel=0.005)
