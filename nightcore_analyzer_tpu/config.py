@@ -67,6 +67,13 @@ class AnalyzerConfig:
     ibi_min_ibis: int = 4
     ibi_glitch_sec: float = 0.05
     ibi_tempo_stride: int = 16
+    # Max ACF lag evaluated for the hop-64 global tempo pick.  Lag 1024 ≈
+    # 20 BPM; beyond it the log-normal prior penalty (≥3.3 nats at default
+    # std_bpm) exceeds the largest possible score gain (ACF is maximal at
+    # lag 0 by Cauchy-Schwarz, so normalized ACF ≤ 1 everywhere), making
+    # longer lags unwinnable — truncation is decision-exact and cuts the
+    # tempogram matmul ~2.7×.
+    ibi_tempo_max_lag: int = 1024
     max_beats: int = 2048                   # fixed-capacity global beat buffer
     max_beats_window: int = 64              # per-10s-window beat buffer
     # DP beat tracker BPM clamp (keeps the search window statically bounded)

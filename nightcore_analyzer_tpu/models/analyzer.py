@@ -157,8 +157,9 @@ def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
     mel = jax.vmap(lambda y: onset.mel_power_global(y, cfg))(ys_f)
     env = jax.vmap(lambda m, f: onset.onset_envelope_from_mel(
         m, f, cfg.tempo_n_fft, cfg.ibi_hop))(mel, n_frames)
+    tg_win = min(cfg.ibi_tempogram_win_length, cfg.ibi_tempo_max_lag)
     acf = jax.vmap(lambda e, f: tempogram.tempogram_mean_acf(
-        e, f, win_length=cfg.ibi_tempogram_win_length,
+        e, f, win_length=tg_win,
         stride=cfg.ibi_tempo_stride, chunk=cfg.tg_frame_chunk))(env, n_frames)
     bpm = jax.vmap(lambda a, b: tempogram.tempo_from_acf(
         a, b, hop_length=cfg.ibi_hop, sr=cfg.sample_rate,

@@ -82,17 +82,20 @@ struct BitReader {
 // ── bit writer ───────────────────────────────────────────────────────────────
 struct BitWriter {
   std::vector<uint8_t> out;
-  uint8_t cur = 0;
+  uint64_t acc = 0;   // pending bits, right-aligned; nbits < 8 after flush
   int nbits = 0;
 
   void bits(uint64_t v, int n) {
-    for (int i = n - 1; i >= 0; --i) {
-      cur = (uint8_t)((cur << 1) | ((v >> i) & 1));
-      if (++nbits == 8) { out.push_back(cur); cur = 0; nbits = 0; }
+    // n <= 56 per call keeps the accumulator overflow-free (callers split)
+    acc = (acc << n) | (n >= 64 ? v : (v & ((1ull << n) - 1)));
+    nbits += n;
+    while (nbits >= 8) {
+      nbits -= 8;
+      out.push_back((uint8_t)(acc >> nbits));
     }
   }
   void unary(uint32_t q) { while (q >= 32) { bits(0, 32); q -= 32; } bits(1, (int)q + 1); }
-  void align() { while (nbits) bits(0, 1); }
+  void align() { if (nbits) bits(0, 8 - nbits); }
 };
 
 // ── CRCs (FLAC) ──────────────────────────────────────────────────────────────
