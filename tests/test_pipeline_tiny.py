@@ -127,3 +127,33 @@ def test_halftime_flip_device_path():
     r = build_result([], [], [128.0] * 8, [104.0] * 8,
                      nc_duration=60.0, src_duration=75.0)
     assert r.tempo_ratio > 1.0
+
+
+def test_auto_align_pipeline_path():
+    """auto_align=True traces the align branch and trims a detected intro."""
+    src_body = synth.music_like(20.0, 22050, bpm=160.0, seed=11, chord_bars=0.5)
+    intro = 0.05 * synth.click_track(70.0, 6.0, 22050, click_hz=600.0)
+    src = np.concatenate([intro, src_body]).astype(np.float32)
+    nc = synth.speed_shift(src_body, FACTOR)
+    cfg = TINY.replace(strip_silence=False,
+                       align_speed_lo=1.1, align_speed_hi=1.4)
+    res, pa = analyze_arrays(nc, src, cfg, auto_align=True)
+    assert res.intro_offset_sec is not None
+    assert res.intro_offset_sec == pytest.approx(6.0, abs=2.0)
+    assert res.ibi_ratio == pytest.approx(FACTOR, rel=0.015)
+
+
+def test_independent_pitch_shift_classification():
+    """A pair with extra pitch processing on top of the speed-up classifies
+    as independent_pitch_shift (reference consensus.py:315-336).
+
+    The extra shift is kept at +1 st: chroma rotation is cyclic over the
+    octave, so total shifts near ±6 st are inherently wrap-ambiguous (the
+    reference's ±18-bin wrap, pitch.py:77-85, has the same property)."""
+    nc, src = synth.nightcore_pair(duration=26.0, bpm=160.0,
+                                   factor=FACTOR, extra_pitch_st=1.0, seed=12)
+    res, pa = analyze_arrays(nc, src, TINY)
+    total_st = 12 * np.log2(res.pitch_ratio)
+    speed_st = 12 * np.log2(FACTOR)
+    assert total_st == pytest.approx(speed_st + 1.0, abs=0.34)
+    assert res.classification == "independent_pitch_shift"
