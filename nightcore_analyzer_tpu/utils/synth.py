@@ -113,16 +113,17 @@ def speed_shift(y: np.ndarray, factor: float, max_denom: int = 4096) -> np.ndarr
 
 def nightcore_pair(duration: float = 60.0, sr: int = 22050, bpm: float = 128.0,
                    factor: float = 1.25, extra_pitch_st: float = 0.0,
-                   seed: int = 0):
+                   seed: int = 0, **music_kwargs):
     """(nightcore, source) pair with known speed ``factor`` and optional
     additional pitch shift (crude spectral shift via resample + time-stretch
     is not attempted; ``extra_pitch_st`` instead re-renders the source with a
-    transposed root, emulating an independent pitch shift)."""
-    src = music_like(duration, sr, bpm=bpm, seed=seed)
+    transposed root, emulating an independent pitch shift).  Extra keyword
+    arguments pass through to :func:`music_like`."""
+    src = music_like(duration, sr, bpm=bpm, seed=seed, **music_kwargs)
     if extra_pitch_st:
         shifted = music_like(duration, sr, bpm=bpm,
                              root_hz=220.0 * 2.0 ** (extra_pitch_st / 12.0),
-                             seed=seed)
+                             seed=seed, **music_kwargs)
         nc = speed_shift(shifted, factor)
     else:
         nc = speed_shift(src, factor)

@@ -151,7 +151,8 @@ def test_independent_pitch_shift_classification():
     octave, so total shifts near ±6 st are inherently wrap-ambiguous (the
     reference's ±18-bin wrap, pitch.py:77-85, has the same property)."""
     nc, src = synth.nightcore_pair(duration=26.0, bpm=160.0,
-                                   factor=FACTOR, extra_pitch_st=1.0, seed=12)
+                                   factor=FACTOR, extra_pitch_st=1.0,
+                                   seed=12, chord_bars=0.5)
     res, pa = analyze_arrays(nc, src, TINY)
     total_st = 12 * np.log2(res.pitch_ratio)
     speed_st = 12 * np.log2(FACTOR)
