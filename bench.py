@@ -53,11 +53,12 @@ def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
     return pairs
 
 
-def _force(pa) -> None:
+def _force(out) -> None:
     """Force completion: materialize one scalar output on the host.  (On the
     axon tunnel backend ``block_until_ready`` does not actually await
     device execution, so timings must round-trip a value.)"""
-    float(np.asarray(pa.tempo_ratio[0]))
+    packed, _stats = out
+    float(np.asarray(packed[0, 0]))
 
 
 def measure_tpu(pairs, duration: float, reps: int) -> float:
@@ -93,17 +94,18 @@ def measure_tpu(pairs, duration: float, reps: int) -> float:
 
     log("compiling + warmup…")
     t0 = time.time()
-    pa, stats = analyzer.run_device(dev_args)
-    _force(pa)
+    out = analyzer.run_device(dev_args)
+    _force(out)
+    _pa, stats = analyzer._unpack(np.asarray(out[0]), np.asarray(out[1]))
     log(f"  warmup {time.time() - t0:.1f}s; "
-        f"mean tempo ratio {float(np.asarray(stats.mean_tempo_ratio)):.4f} "
-        f"({int(np.asarray(stats.n_ok))}/{B} analyzable)")
+        f"mean tempo ratio {float(stats.mean_tempo_ratio):.4f} "
+        f"({int(stats.n_ok)}/{B} analyzable)")
 
     times = []
     for r in range(reps):
         t0 = time.time()
-        pa, stats = analyzer.run_device(dev_args)
-        _force(pa)
+        out = analyzer.run_device(dev_args)
+        _force(out)
         dt = time.time() - t0
         times.append(dt)
         log(f"  rep {r + 1}/{reps}: {dt:.3f}s  ({B / dt:.2f} pairs/s)")

@@ -77,13 +77,27 @@ class CorpusAnalyzer:
             """Per-device shard: full analysis of the local pairs + psum'd
             corpus report.  Runs under shard_map so the Pallas beat-DP kernel
             executes on each device's local batch (explicit SPMD — GSPMD
-            cannot partition through a custom kernel)."""
+            cannot partition through a custom kernel).
+
+            Outputs are packed into two dense float32 arrays on device: the
+            host↔device tunnel pays a fixed round trip per fetched array
+            (~0.2 s here), so fetching ~40 result leaves individually costs
+            more than the analysis itself.  One (B, K) array + one stats
+            vector = two fetches."""
+            import jax.numpy as jnp
             pa = bfn(nc, n_nc, src, n_src, trim)
             tempo_ok = ~pa.tempo_insufficient & ~pa.all_gated
             stats = corpus_stats(
                 pa.tempo_ratio, pa.pitch_ratio, pa.ibi_ratio, pa.ibi_valid,
                 tempo_ok, mask, tolerance=cfg.pure_nc_tolerance)
-            return pa, stats
+            B = nc.shape[0]
+            packed = jnp.concatenate(
+                [jnp.reshape(leaf, (B, -1)).astype(jnp.float32)
+                 for leaf in jax.tree_util.tree_leaves(pa)], axis=1)
+            stats_packed = jnp.stack(
+                [s.astype(jnp.float32)
+                 for s in jax.tree_util.tree_leaves(stats)])
+            return packed, stats_packed
 
         batched = jax.shard_map(
             local, mesh=self.mesh,
@@ -98,6 +112,39 @@ class CorpusAnalyzer:
                           data_sh),
         )
         self._jax = jax
+
+        # leaf spec for host-side unpacking (shapes/dtypes of PairAnalysis
+        # for a single pair, from abstract evaluation — no device work)
+        from ..models.analyzer import PairAnalysis
+        from ..parallel.mesh import CorpusStats
+        probe = jax.eval_shape(
+            partial(bfn),
+            jax.ShapeDtypeStruct((1, cfg.max_samples), np.float32),
+            jax.ShapeDtypeStruct((1,), np.int32),
+            jax.ShapeDtypeStruct((1, cfg.max_samples), np.float32),
+            jax.ShapeDtypeStruct((1,), np.int32),
+            jax.ShapeDtypeStruct((1,), np.int32))
+        self._pa_cls = PairAnalysis
+        self._stats_cls = CorpusStats
+        self._leaf_specs = [(l.shape[1:], l.dtype)
+                            for l in jax.tree_util.tree_leaves(probe)]
+
+    def _unpack(self, packed: np.ndarray, stats_packed: np.ndarray):
+        """(B, K) float32 + (6,) float32 → numpy PairAnalysis + CorpusStats."""
+        B = packed.shape[0]
+        leaves = []
+        off = 0
+        for shape, dtype in self._leaf_specs:
+            size = int(np.prod(shape)) if shape else 1
+            chunk = packed[:, off:off + size].reshape((B,) + tuple(shape))
+            leaves.append(chunk.astype(dtype))
+            off += size
+        pa = self._pa_cls(*leaves)
+        stats = self._stats_cls(*[stats_packed[i].astype(s)
+                                  for i, s in enumerate(
+                                      [np.int32, np.int32, np.float32,
+                                       np.float32, np.int32, np.int32])])
+        return pa, stats
 
     def pad_batch(self, buffers: PairBuffers) -> PairBuffers:
         """Pad the pair axis to a multiple of the mesh size."""
@@ -132,12 +179,15 @@ class CorpusAnalyzer:
                 jax.device_put(b.src_trim, d1), jax.device_put(b.mask, d1))
 
     def run_device(self, dev_args):
-        """Run on already-transferred device buffers (see put_buffers)."""
+        """Run on already-transferred device buffers (see put_buffers).
+        Returns the raw packed device outputs (see ``_unpack``)."""
         return self._fn(*dev_args)
 
     def analyze_buffers(self, buffers: PairBuffers):
-        """Run the device program; returns (PairAnalysis[B], CorpusStats)."""
-        return self._fn(*self.put_buffers(buffers))
+        """Run the device program; returns numpy (PairAnalysis[B], CorpusStats)
+        — fetched from the device as two dense arrays."""
+        packed, stats_packed = self._fn(*self.put_buffers(buffers))
+        return self._unpack(np.asarray(packed), np.asarray(stats_packed))
 
     def analyze_pairs(self, pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                       src_trim_sec: Optional[Sequence[float]] = None):
@@ -165,7 +215,6 @@ class CorpusAnalyzer:
                 bufs.src_trim[i] = int(src_trim_sec[i] * cfg.sample_rate)
 
         pa, stats = self.analyze_buffers(bufs)
-        pa = self._jax.tree_util.tree_map(np.asarray, pa)
 
         results: List = []
         for i in range(B):
