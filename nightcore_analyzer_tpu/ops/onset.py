@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import AnalyzerConfig
 from . import filters
-from .spectrum import frame_indices, frame_interleaved, interleave_params, power_to_db
+from .spectrum import frame_interleaved, interleave_params, power_to_db
 
 __all__ = ["onset_pad_width", "mel_power_windows", "mel_power_global",
            "onset_envelope_from_mel", "onset_frames_valid"]

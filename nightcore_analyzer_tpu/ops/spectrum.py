@@ -16,10 +16,10 @@ import numpy as np
 __all__ = [
     "frame_indices",
     "frame_signal",
-    "stft_mag_sq",
+    "interleave_params",
+    "frame_interleaved",
     "power_to_db",
     "amplitude_to_db",
-    "chunked_map",
 ]
 
 
@@ -76,12 +76,6 @@ def frame_interleaved(seg: jnp.ndarray, n_frames: int, n_fft: int, hop: int):
     return jnp.concatenate(blocks, axis=-2)          # (..., P*K, n_fft)
 
 
-def stft_mag_sq(frames: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """|rfft(frame * window)|^2 over the last axis."""
-    spec = jnp.fft.rfft(frames * window, axis=-1)
-    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-
-
 def power_to_db(S: jnp.ndarray, ref: float = 1.0, amin: float = 1e-10,
                 top_db: float | None = 80.0) -> jnp.ndarray:
     """librosa ``power_to_db`` semantics: 10*log10(max(S,amin)/ref), clamped
@@ -98,20 +92,4 @@ def amplitude_to_db(S: jnp.ndarray, ref: float = 1.0, amin: float = 1e-5,
     return power_to_db(S ** 2, ref=float(ref) ** 2, amin=amin ** 2, top_db=top_db)
 
 
-def chunked_map(fn, n: int, chunk: int):
-    """Evaluate ``fn(start_index, size=chunk)`` for chunk starts covering
-    ``range(0, n_padded, chunk)`` via ``lax.scan`` and concatenate results
-    along a new leading axis of size ``n_chunks*chunk`` (callers mask the
-    tail).  ``fn`` must return arrays whose leading axis is ``chunk``.
 
-    Returns stacked outputs with leading axis ``n_chunks * chunk``.
-    """
-    n_chunks = -(-n // chunk)
-
-    def body(carry, start):
-        out = fn(start)
-        return carry, out
-
-    _, outs = jax.lax.scan(body, None, jnp.arange(n_chunks) * chunk)
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:]), outs)
