@@ -1,10 +1,11 @@
-"""Core spectral ops: framing, STFT, dB conversion, chunked mapping.
+"""Core spectral ops: framing utilities and dB conversion.
 
-Everything here is shape-static and jit/vmap friendly.  The central
-memory-management tool is :func:`chunked_map` — TPU HBM cannot hold a fully
-materialized hop-64 STFT of a multi-minute track (the reference's hottest path,
-``tempo.py:158``), so frame-parallel work is streamed through ``lax.scan`` in
-fixed-size chunks while keeping each chunk wide enough to saturate the VPU/MXU.
+Everything here is shape-static and jit/vmap friendly.  The central tool is
+:func:`frame_interleaved`: TPU HBM cannot hold a fully materialized hop-64
+STFT of a multi-minute track (the reference's hottest path, ``tempo.py:158``),
+so the consumers stream frames through ``lax.scan`` in fixed-size chunks,
+built with gather-free interleaved reshapes (~8× cheaper than index-matrix
+gathers on TPU).
 """
 
 from __future__ import annotations
