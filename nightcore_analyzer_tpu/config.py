@@ -45,7 +45,10 @@ class AnalyzerConfig:
     tempo_n_fft: int = 2048
     n_mels: int = 128
     min_beats: int = 4
-    agreement_tolerance: float = 0.08
+    # NOTE: the reference's 8% two-estimator agreement knob (tempo.py:23) has
+    # no equivalent here by design: both of its "independent" estimators
+    # resolve to feature.tempo (see below), so the consensus reduces to the
+    # single ACF pick and a tunable would be a dead trap.
     # librosa feature.tempo defaults (the actual windowed estimator — the
     # reference's two "independent" estimators are both feature.tempo, see
     # tempo.py:45-68 where beat_track's returned tempo IS feature.tempo's)

@@ -22,14 +22,18 @@ __all__ = ["detect_peak", "make_adj_path", "apply_true_peak_limiter",
 
 
 def detect_peak(path: str | Path) -> tuple[float, bool]:
-    """(peak_dbfs, is_clipping) — clipping when peak ≥ 0 dBFS."""
+    """(peak_dbfs, is_clipping) — clipping when peak ≥ 0 dBFS.
+
+    The peak is the *pre-mixdown per-channel* maximum, matching the
+    reference's soundfile ``always_2d`` read maxed over all channels
+    (loudness.py:40-65): a clipped left channel must trip the detector
+    even when the stereo mixdown stays below full scale.
+    """
     from . import native
-    y, _sr = native.decode_native(str(path))
-    if len(y) == 0:
+    y, _sr, peak_lin = native.decode_native_peak(str(path))
+    if len(y) == 0 or peak_lin <= 0.0:
         return (-math.inf, False)
-    peak = native.peak_dbfs(y)
-    if peak <= -1e29:
-        return (-math.inf, False)
+    peak = 20.0 * math.log10(peak_lin)
     return (peak, peak >= 0.0)
 
 

@@ -157,9 +157,14 @@ def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
     mel = jax.vmap(lambda y: onset.mel_power_global(y, cfg))(ys_f)
     env = jax.vmap(lambda m, f: onset.onset_envelope_from_mel(
         m, f, cfg.tempo_n_fft, cfg.ibi_hop))(mel, n_frames)
-    tg_win = min(cfg.ibi_tempogram_win_length, cfg.ibi_tempo_max_lag)
+    # Full librosa ac_size window (2756 frames = 8 s at hop 64); only the
+    # *output* lags are truncated to ibi_tempo_max_lag — the window width
+    # sets the ACF's triangular taper, so shrinking it would bias slow-BPM
+    # lags vs the reference (round-1 advisor finding). Lag truncation alone
+    # is decision-exact (lags > max_lag are unwinnable under the prior).
     acf = jax.vmap(lambda e, f: tempogram.tempogram_mean_acf(
-        e, f, win_length=tg_win,
+        e, f, win_length=cfg.ibi_tempogram_win_length,
+        max_lag=cfg.ibi_tempo_max_lag,
         stride=cfg.ibi_tempo_stride, chunk=cfg.tg_frame_chunk))(env, n_frames)
     bpm = jax.vmap(lambda a, b: tempogram.tempo_from_acf(
         a, b, hop_length=cfg.ibi_hop, sr=cfg.sample_rate,
@@ -289,18 +294,27 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
     src_bpms = jax.vmap(jax.vmap(
         lambda a: tempo_pick(a, jnp.asarray(120.0))))(acf[:, SRC])
 
-    # provisional source validity for the prior: gate only (the reference
-    # forms the nightcore prior from valid source BPMs, pipeline.py:176-183)
+    # Source-side beat-count DP runs *before* the prior is formed: the
+    # reference medians over windows that passed both the energy gate and
+    # the >=4-beat gate (pipeline.py:169-183 via batch_estimate_tempo's
+    # None filtering), so sparse-beat windows that merely survive the
+    # energy gate must not contribute junk BPMs to the nightcore prior.
+    src_n_beats = _window_beat_counts(
+        envs[:, SRC:SRC + 1], src_bpms[:, None, :], cfg)[:, 0]
+    src_tmask = gates[:, SRC] & (src_n_beats >= cfg.min_beats)
+
     dur_ratio = n_src.astype(jnp.float32) / jnp.maximum(n_nc, 1)
-    src_median_prior = masked_median(src_bpms, gates[:, SRC])
-    have_prior = (jnp.sum(gates[:, SRC], -1) > 0) & (n_nc > 0) & (n_src > 0)
+    src_median_prior = masked_median(src_bpms, src_tmask)
+    have_prior = (jnp.sum(src_tmask, -1) > 0) & (n_nc > 0) & (n_src > 0)
     nc_start_bpm = jnp.where(have_prior, src_median_prior * dur_ratio, 120.0)
 
     nc_bpms = jax.vmap(lambda a, p: jax.vmap(
         lambda aa: tempo_pick(aa, p))(a))(acf[:, NC], nc_start_bpm)
 
+    nc_n_beats = _window_beat_counts(
+        envs[:, NC:NC + 1], nc_bpms[:, None, :], cfg)[:, 0]
     bpms = jnp.stack([nc_bpms, src_bpms], axis=1)   # (B, 2, slots)
-    n_beats = _window_beat_counts(envs, bpms, cfg)  # ONE Pallas launch
+    n_beats = jnp.stack([nc_n_beats, src_n_beats], axis=1)
     tmask = gates & (n_beats >= cfg.min_beats)
 
     src_tempos, src_tmask = bpms[:, SRC], tmask[:, SRC]

@@ -17,13 +17,15 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["decode_audio", "decode_native", "resample", "encode_wav",
-           "encode_flac", "peak_dbfs", "lib", "NativeAudioError"]
+__all__ = ["decode_audio", "decode_native", "decode_native_peak",
+           "decode_oracle", "resample", "encode_wav", "encode_flac",
+           "encode_lossy", "has_lossy_codecs", "peak_dbfs", "lib",
+           "NativeAudioError"]
 
 _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "src" / "nativeaudio.cpp"
 _SO = _DIR / "libnativeaudio.so"
-_ABI_VERSION = 10
+_ABI_VERSION = 11
 
 _lock = threading.Lock()
 _lib = None
@@ -34,9 +36,19 @@ class NativeAudioError(RuntimeError):
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_SO)]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    # Generic -O3 (no -march=native: the cached .so must stay portable across
+    # hosts — round-1 advisor finding). Lossy-format support (MP3/AAC/OGG via
+    # the system libav*, the reference's own decode path through audioread →
+    # ffmpeg) is compiled in when headers + libs are present; the first-party
+    # FLAC/WAV codec never depends on it.
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC),
+            "-o", str(_SO)]
+    libav = base[:-2] + ["-DNA_HAVE_LIBAV=1", "-lavformat", "-lavcodec",
+                         "-lavutil", "-o", str(_SO)]
+    proc = subprocess.run(libav, capture_output=True, text=True)
+    if proc.returncode == 0:
+        return
+    proc = subprocess.run(base, capture_output=True, text=True)
     if proc.returncode != 0:
         raise NativeAudioError(
             f"native audio build failed:\n{proc.stderr[-4000:]}")
@@ -77,8 +89,16 @@ def _bind(L: ctypes.CDLL) -> ctypes.CDLL:
                               ctypes.c_int, ctypes.c_int,
                               ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
                               ctypes.POINTER(ctypes.c_long)]
+    L.na_decode_peak.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double)]
     L.na_encode_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_long, ctypes.c_int, ctypes.c_int]
+    L.na_encode_lossy.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_long, ctypes.c_int, ctypes.c_char_p,
+                                  ctypes.c_int]
+    L.na_decode_oracle.argtypes = L.na_decode.argtypes
     L.na_encode_flac.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                                  ctypes.c_long, ctypes.c_int]
     L.na_peak_dbfs.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_long]
@@ -107,6 +127,51 @@ def decode_native(path: str) -> tuple[np.ndarray, int]:
                    ctypes.byref(sr)):
         raise NativeAudioError(f"{path}: {_err(L)}")
     return _take(L, ptr, n), sr.value
+
+
+def decode_native_peak(path: str) -> tuple[np.ndarray, int, float]:
+    """Decode to mono float32 at native rate, also returning the
+    pre-mixdown per-channel absolute peak (linear, for clipping checks —
+    ``|mean(L,R)| <= max(|L|,|R|)`` so the mono mixdown systematically
+    under-detects stereo clipping; reference loudness.py:40-65)."""
+    L = lib()
+    ptr = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long()
+    sr = ctypes.c_int()
+    pk = ctypes.c_double()
+    if L.na_decode_peak(path.encode(), ctypes.byref(ptr), ctypes.byref(n),
+                        ctypes.byref(sr), ctypes.byref(pk)):
+        raise NativeAudioError(f"{path}: {_err(L)}")
+    return _take(L, ptr, n), sr.value, pk.value
+
+
+def decode_oracle(path: str) -> tuple[np.ndarray, int]:
+    """Decode via the system libav* regardless of container — the
+    conformance oracle against which the first-party codec is tested."""
+    L = lib()
+    ptr = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long()
+    sr = ctypes.c_int()
+    if L.na_decode_oracle(path.encode(), ctypes.byref(ptr), ctypes.byref(n),
+                          ctypes.byref(sr)):
+        raise NativeAudioError(f"{path}: {_err(L)}")
+    return _take(L, ptr, n), sr.value
+
+
+def has_lossy_codecs() -> bool:
+    """True when MP3/AAC/OGG/M4A decode (system libav*) is compiled in."""
+    return bool(lib().na_has_libav())
+
+
+def encode_lossy(path: str, x: np.ndarray, sr: int, codec: str = "",
+                 bitrate: int = 160_000) -> None:
+    """Encode mono float32 to a lossy container (extension-inferred:
+    .mp3/.ogg/.m4a/.aac). ``codec`` optionally forces an encoder name."""
+    L = lib()
+    x = np.ascontiguousarray(x, np.float32)
+    if L.na_encode_lossy(path.encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                         len(x), int(sr), codec.encode(), int(bitrate)):
+        raise NativeAudioError(f"{path}: {_err(L)}")
 
 
 def decode_audio(path: str, target_sr: int = 22050) -> np.ndarray:

@@ -23,6 +23,16 @@
 #include <vector>
 #include <algorithm>
 
+#ifdef NA_HAVE_LIBAV
+extern "C" {
+#include <libavformat/avformat.h>
+#include <libavcodec/avcodec.h>
+#include <libavutil/avutil.h>
+#include <libavutil/channel_layout.h>
+#include <libavutil/opt.h>
+}
+#endif
+
 namespace {
 
 // ── bit reader ───────────────────────────────────────────────────────────────
@@ -197,6 +207,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     for (int i = 0; i < blocksize; ++i) out[i] = br.sbits(bps);
   } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {   // fixed
     int order = type & 0x07;
+    if (order > blocksize) return false;  // warmup must fit the block
     for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
     std::vector<int64_t> res(blocksize);
     if (!decode_residual(br, blocksize, order, res)) return false;
@@ -213,6 +224,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     }
   } else if (type & 0x20) {                // LPC
     int order = (int)(type & 0x1F) + 1;
+    if (order > blocksize) return false;  // warmup must fit the block
     for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
     int prec = (int)br.bits(4) + 1;
     if (prec > 16) return false;
@@ -235,7 +247,8 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
 }
 
 int decode_flac(const uint8_t* data, size_t size, std::vector<float>* mono,
-                int* sr_out, std::string* err) {
+                int* sr_out, std::string* err, double* chpeak = nullptr) {
+  double pk = 0.0;
   if (size < 8 || memcmp(data, "fLaC", 4) != 0) { *err = "not a FLAC stream"; return 1; }
   size_t pos = 4;
   FlacStreamInfo si;
@@ -327,26 +340,35 @@ int decode_flac(const uint8_t* data, size_t size, std::vector<float>* mono,
     br.bits(16);                                 // CRC-16 (not verified)
     if (br.error) break;
 
-    // channel decorrelation + mono mixdown
+    // channel decorrelation + mono mixdown (per-channel peak pre-mixdown:
+    // |mean(L,R)| <= max(|L|,|R|), so clipping detection must see channels)
     double inv = 1.0 / scale_base;
     for (int i = 0; i < blocksize; ++i) {
       double l, r, m;
       switch (mode) {
         case 1: l = (double)ch[0][i]; r = (double)(ch[0][i] - ch[1][i]);
-                m = 0.5 * (l + r); break;
+                m = 0.5 * (l + r);
+                pk = std::max(pk, std::max(std::fabs(l), std::fabs(r)) * inv); break;
         case 2: r = (double)ch[1][i]; l = (double)(ch[1][i] + ch[0][i]);
-                m = 0.5 * (l + r); break;
+                m = 0.5 * (l + r);
+                pk = std::max(pk, std::max(std::fabs(l), std::fabs(r)) * inv); break;
         case 3: { int64_t side = ch[1][i];
                   int64_t mid2 = (ch[0][i] << 1) | (side & 1);
                   l = (double)((mid2 + side) >> 1);
                   r = (double)((mid2 - side) >> 1);
-                  m = 0.5 * (l + r); } break;
-        default: { double acc = 0; for (int c = 0; c < nch; ++c) acc += (double)ch[c][i];
+                  m = 0.5 * (l + r);
+                  pk = std::max(pk, std::max(std::fabs(l), std::fabs(r)) * inv); } break;
+        default: { double acc = 0;
+                   for (int c = 0; c < nch; ++c) {
+                     acc += (double)ch[c][i];
+                     pk = std::max(pk, std::fabs((double)ch[c][i]) * inv);
+                   }
                    m = acc / nch; } break;
       }
       mono->push_back((float)(m * inv));
     }
   }
+  if (chpeak) *chpeak = pk;
   return 0;
 }
 
@@ -367,6 +389,66 @@ void write_rice(BitWriter& bw, const int64_t* res, int n, int k) {
     bw.unary((uint32_t)(u >> k));
     if (k) bw.bits(u & ((1ull << k) - 1), k);
   }
+}
+
+// Exact Rice size in bits at the best parameter for this residual block.
+uint64_t rice_cost(const int64_t* res, int n, int* k_out) {
+  int k = best_rice_param(res, n);
+  uint64_t bits = 0;
+  for (int i = 0; i < n; ++i) {
+    uint64_t u = (uint64_t)((res[i] << 1) ^ (res[i] >> 63));
+    bits += (u >> k) + 1 + (uint64_t)k;
+  }
+  *k_out = k;
+  return bits;
+}
+
+// Levinson-Durbin LPC fit + libFLAC-style coefficient quantization.
+// Returns false when the block is degenerate (silence / too short).
+bool compute_qlpc(const int64_t* s, int n, int order, int prec,
+                  std::vector<int64_t>* qcoef, int* shift_out) {
+  if (n <= order * 2) return false;
+  std::vector<double> ac(order + 1, 0.0);
+  for (int lag = 0; lag <= order; ++lag) {
+    double acc = 0;
+    for (int i = lag; i < n; ++i) acc += (double)s[i] * (double)s[i - lag];
+    ac[lag] = acc;
+  }
+  if (!(ac[0] > 0)) return false;
+  std::vector<double> a(order, 0.0);
+  double err = ac[0];
+  for (int i = 0; i < order; ++i) {
+    double r = ac[i + 1];
+    for (int j = 0; j < i; ++j) r -= a[j] * ac[i - j];
+    if (!(err > 0)) return false;
+    double k = r / err;
+    a[i] = k;
+    for (int j = 0; j < i / 2; ++j) {
+      double t = a[j];
+      a[j] = t - k * a[i - 1 - j];
+      a[i - 1 - j] -= k * t;
+    }
+    if (i & 1) a[i / 2] -= k * a[i / 2];
+    err *= (1.0 - k * k);
+  }
+  double cmax = 0;
+  for (int j = 0; j < order; ++j) cmax = std::max(cmax, std::fabs(a[j]));
+  if (!(cmax > 0)) return false;
+  int headroom = (int)std::floor(std::log2(cmax)) + 1;
+  int shift = prec - 1 - headroom;
+  shift = std::max(0, std::min(15, shift));
+  qcoef->assign(order, 0);
+  int64_t qmax = (1ll << (prec - 1)) - 1, qmin = -(1ll << (prec - 1));
+  double e = 0;
+  for (int j = 0; j < order; ++j) {
+    double v = a[j] * (double)(1ll << shift) + e;
+    int64_t q = (int64_t)std::llround(v);
+    q = std::max(qmin, std::min(qmax, q));
+    e = v - (double)q;
+    (*qcoef)[j] = q;
+  }
+  *shift_out = shift;
+  return true;
 }
 
 int encode_flac(const char* path, const float* x, long n, int sr, std::string* err) {
@@ -420,35 +502,72 @@ int encode_flac(const char* path, const float* x, long n, int sr, std::string* e
     uint8_t hcrc = crc8(bw.out.data(), bw.out.size());
     bw.bits(hcrc, 8);
 
-    // choose fixed order 0..2 by residual magnitude
-    int best_order = 0;
+    // Candidate subframes by exact Rice cost: fixed orders 0..2 and an
+    // order-8 quantized-LPC fit (libFLAC-class compression for tonal
+    // material; the round-1 encoder was fixed-predictor only).
+    const int LPC_ORDER = 8, LPC_PREC = 15;
+    int best_order = 0, best_k = 0;
+    bool best_is_lpc = false;
     uint64_t best_cost = ~0ull;
+    std::vector<int64_t> lpc_coef;
+    int lpc_shift = 0;
     for (int order = 0; order <= 2 && order < bs; ++order) {
-      uint64_t cost = 0;
       for (int i = order; i < bs; ++i) {
-        int64_t e;
-        if (order == 0) e = s[i];
-        else if (order == 1) e = s[i] - s[i - 1];
-        else e = s[i] - 2 * s[i - 1] + s[i - 2];
-        cost += (uint64_t)std::llabs(e);
+        if (order == 0) res[i] = s[i];
+        else if (order == 1) res[i] = s[i] - s[i - 1];
+        else res[i] = s[i] - 2 * s[i - 1] + s[i - 2];
       }
-      if (cost < best_cost) { best_cost = cost; best_order = order; }
+      int k;
+      uint64_t cost = rice_cost(res.data() + order, bs - order, &k) +
+                      (uint64_t)order * BPS;
+      if (cost < best_cost) {
+        best_cost = cost; best_order = order; best_k = k; best_is_lpc = false;
+      }
+    }
+    std::vector<int64_t> qc;
+    int shift;
+    if (bs > LPC_ORDER * 2 &&
+        compute_qlpc(s.data(), bs, LPC_ORDER, LPC_PREC, &qc, &shift)) {
+      for (int i = LPC_ORDER; i < bs; ++i) {
+        int64_t acc = 0;
+        for (int j = 0; j < LPC_ORDER; ++j) acc += qc[j] * s[i - 1 - j];
+        res[i] = s[i] - (acc >> shift);
+      }
+      int k;
+      uint64_t cost = rice_cost(res.data() + LPC_ORDER, bs - LPC_ORDER, &k) +
+                      (uint64_t)LPC_ORDER * (BPS + LPC_PREC) + 9;
+      if (cost < best_cost) {
+        best_cost = cost; best_order = LPC_ORDER; best_k = k;
+        best_is_lpc = true; lpc_coef = qc; lpc_shift = shift;
+      }
     }
     int order = best_order;
     for (int i = 0; i < bs; ++i) {
       if (i < order) res[i] = 0;
+      else if (best_is_lpc) {
+        int64_t acc = 0;
+        for (int j = 0; j < order; ++j) acc += lpc_coef[j] * s[i - 1 - j];
+        res[i] = s[i] - (acc >> lpc_shift);
+      }
       else if (order == 0) res[i] = s[i];
       else if (order == 1) res[i] = s[i] - s[i - 1];
       else res[i] = s[i] - 2 * s[i - 1] + s[i - 2];
     }
 
     bw.bits(0, 1);
-    bw.bits(0x08 | order, 6);                     // fixed subframe
-    bw.bits(0, 1);                                // no wasted bits
+    if (best_is_lpc) bw.bits(0x20 | (order - 1), 6);  // LPC subframe
+    else bw.bits(0x08 | order, 6);                    // fixed subframe
+    bw.bits(0, 1);                                    // no wasted bits
     for (int i = 0; i < order; ++i) bw.bits((uint64_t)(s[i] & 0xFFFF), 16);
+    if (best_is_lpc) {
+      bw.bits((uint64_t)(LPC_PREC - 1), 4);
+      bw.bits((uint64_t)lpc_shift & 0x1F, 5);
+      for (int j = 0; j < order; ++j)
+        bw.bits((uint64_t)lpc_coef[j] & ((1ull << LPC_PREC) - 1), LPC_PREC);
+    }
     bw.bits(0, 2);                                // rice method 0
     bw.bits(0, 4);                                // partition order 0
-    int k = best_rice_param(res.data() + order, bs - order);
+    int k = best_k;
     bw.bits((uint64_t)k, 4);
     write_rice(bw, res.data() + order, bs - order, k);
     bw.align();
@@ -466,7 +585,7 @@ uint32_t rd32(const uint8_t* p) { return p[0] | (p[1] << 8) | (p[2] << 16) | ((u
 uint16_t rd16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
 
 int decode_wav(const uint8_t* d, size_t n, std::vector<float>* mono,
-               int* sr_out, std::string* err) {
+               int* sr_out, std::string* err, double* chpeak = nullptr) {
   if (n < 44 || memcmp(d, "RIFF", 4) || memcmp(d + 8, "WAVE", 4)) {
     *err = "not a WAV file"; return 1;
   }
@@ -488,10 +607,19 @@ int decode_wav(const uint8_t* d, size_t n, std::vector<float>* mono,
     pos += 8 + len + (len & 1);
   }
   if (!data || !channels || !sr) { *err = "missing fmt/data chunk"; return 1; }
+  // Validate the fmt chunk before any arithmetic: a crafted file declaring
+  // bits=0 would otherwise divide by zero below (advisor finding, round 1).
+  if (fmt != 1 && fmt != 3) { *err = "unsupported WAV format tag"; return 1; }
+  if (bits != 8 && bits != 16 && bits != 24 && bits != 32 && bits != 64) {
+    *err = "unsupported WAV bit depth"; return 1;
+  }
+  if (channels <= 0 || channels > 64) { *err = "bad WAV channel count"; return 1; }
+  if (fmt == 3 && bits != 32 && bits != 64) { *err = "bad float WAV depth"; return 1; }
   *sr_out = (int)sr;
   int bytes = bits / 8;
   size_t frames = data_len / ((size_t)bytes * channels);
   mono->resize(frames);
+  double pk = 0.0;
   for (size_t i = 0; i < frames; ++i) {
     double acc = 0;
     for (int c = 0; c < channels; ++c) {
@@ -507,9 +635,11 @@ int decode_wav(const uint8_t* d, size_t n, std::vector<float>* mono,
         v = iv / 8388608.0;
       } else if (bits == 32) { v = (int32_t)rd32(s) / 2147483648.0; }
       acc += v;
+      pk = std::max(pk, std::fabs(v));
     }
     (*mono)[i] = (float)(acc / channels);
   }
+  if (chpeak) *chpeak = pk;
   return 0;
 }
 
@@ -615,6 +745,237 @@ int resample(const float* in, long n_in, int sr_in, int sr_out,
   return 0;
 }
 
+// ── lossy-format decode via the system libav* (MP3 / AAC / OGG / M4A…) ──────
+//
+// The reference gets lossy decode from the same place: librosa.load →
+// audioread → ffmpeg (reference io.py:54, requirements.txt:24). FLAC/WAV
+// stay first-party above (faster, dependency-free); everything else routes
+// through libavformat/libavcodec when the toolchain found them at build
+// time (NA_HAVE_LIBAV), mirroring the reference's fallback architecture.
+#ifdef NA_HAVE_LIBAV
+
+double av_sample_as_double(const uint8_t* base, int fmt_packed, size_t idx) {
+  switch (fmt_packed) {
+    case AV_SAMPLE_FMT_U8:  return ((int)base[idx] - 128) / 128.0;
+    case AV_SAMPLE_FMT_S16: { int16_t v; memcpy(&v, base + 2 * idx, 2); return v / 32768.0; }
+    case AV_SAMPLE_FMT_S32: { int32_t v; memcpy(&v, base + 4 * idx, 4); return v / 2147483648.0; }
+    case AV_SAMPLE_FMT_S64: { int64_t v; memcpy(&v, base + 8 * idx, 8); return (double)v / 9223372036854775808.0; }
+    case AV_SAMPLE_FMT_FLT: { float v; memcpy(&v, base + 4 * idx, 4); return v; }
+    case AV_SAMPLE_FMT_DBL: { double v; memcpy(&v, base + 8 * idx, 8); return v; }
+    default: return 0.0;
+  }
+}
+
+int decode_libav(const char* path, std::vector<float>* mono, int* sr_out,
+                 std::string* err, double* chpeak) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext* fc = nullptr;
+  if (avformat_open_input(&fc, path, nullptr, nullptr) < 0) {
+    *err = "unsupported or unreadable container"; return 1;
+  }
+  struct Guard {
+    AVFormatContext** fc; AVCodecContext** cc; AVFrame** fr; AVPacket** pk;
+    ~Guard() {
+      if (pk && *pk) av_packet_free(pk);
+      if (fr && *fr) av_frame_free(fr);
+      if (cc && *cc) avcodec_free_context(cc);
+      if (fc && *fc) avformat_close_input(fc);
+    }
+  };
+  AVCodecContext* cc = nullptr;
+  AVFrame* fr = nullptr;
+  AVPacket* pk = nullptr;
+  Guard g{&fc, &cc, &fr, &pk};
+
+  if (avformat_find_stream_info(fc, nullptr) < 0) {
+    *err = "no stream info"; return 1;
+  }
+  const AVCodec* dec = nullptr;
+  int si = av_find_best_stream(fc, AVMEDIA_TYPE_AUDIO, -1, -1, &dec, 0);
+  if (si < 0 || !dec) { *err = "no audio stream"; return 1; }
+  cc = avcodec_alloc_context3(dec);
+  if (!cc || avcodec_parameters_to_context(cc, fc->streams[si]->codecpar) < 0 ||
+      avcodec_open2(cc, dec, nullptr) < 0) {
+    *err = "decoder open failed"; return 1;
+  }
+  fr = av_frame_alloc();
+  pk = av_packet_alloc();
+  double pkv = 0.0;
+  int sr = 0;
+
+  auto drain = [&](void) -> bool {
+    while (true) {
+      int rc = avcodec_receive_frame(cc, fr);
+      if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return true;
+      if (rc < 0) return false;
+      int nch = fr->ch_layout.nb_channels;
+      if (nch <= 0) nch = 1;
+      if (!sr) sr = fr->sample_rate ? fr->sample_rate : cc->sample_rate;
+      int fmt = fr->format;
+      bool planar = av_sample_fmt_is_planar((AVSampleFormat)fmt) != 0;
+      int base_fmt = planar ? av_get_packed_sample_fmt((AVSampleFormat)fmt) : fmt;
+      for (int i = 0; i < fr->nb_samples; ++i) {
+        double acc = 0;
+        for (int c = 0; c < nch; ++c) {
+          double v = planar
+              ? av_sample_as_double(fr->extended_data[c], base_fmt, (size_t)i)
+              : av_sample_as_double(fr->extended_data[0], base_fmt,
+                                    (size_t)i * nch + c);
+          acc += v;
+          pkv = std::max(pkv, std::fabs(v));
+        }
+        mono->push_back((float)(acc / nch));
+      }
+      av_frame_unref(fr);
+    }
+  };
+
+  while (av_read_frame(fc, pk) >= 0) {
+    if (pk->stream_index == si) {
+      if (avcodec_send_packet(cc, pk) == 0) {
+        if (!drain()) { *err = "decode error"; return 1; }
+      }
+    }
+    av_packet_unref(pk);
+  }
+  avcodec_send_packet(cc, nullptr);  // flush
+  drain();
+
+  if (mono->empty() || !sr) { *err = "no decodable audio"; return 1; }
+  *sr_out = sr;
+  if (chpeak) *chpeak = pkv;
+  return 0;
+}
+
+// Generic lossy encode (test vectors + artefact parity): mono float32 →
+// MP3 / OGG-Vorbis / M4A-AAC, container guessed from the file extension.
+int encode_libav(const char* path, const float* x, long n, int sr,
+                 const char* codec_name, int bitrate, std::string* err) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext* oc = nullptr;
+  if (avformat_alloc_output_context2(&oc, nullptr, nullptr, path) < 0 || !oc) {
+    *err = "cannot infer output container from extension"; return 1;
+  }
+  const AVCodec* enc = (codec_name && codec_name[0])
+      ? avcodec_find_encoder_by_name(codec_name)
+      : avcodec_find_encoder(oc->oformat->audio_codec);
+  if (!enc) { avformat_free_context(oc); *err = "encoder unavailable"; return 1; }
+  AVCodecContext* cc = avcodec_alloc_context3(enc);
+  AVStream* st = avformat_new_stream(oc, nullptr);
+  if (!cc || !st) {
+    if (cc) avcodec_free_context(&cc);
+    avformat_free_context(oc); *err = "alloc failed"; return 1;
+  }
+  cc->sample_rate = sr;
+  av_channel_layout_default(&cc->ch_layout, 1);
+  cc->sample_fmt = enc->sample_fmts ? enc->sample_fmts[0] : AV_SAMPLE_FMT_FLTP;
+  cc->bit_rate = bitrate > 0 ? bitrate : 160000;
+  cc->time_base = AVRational{1, sr};
+  if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+    cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  cc->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;  // native aac/vorbis
+  if (avcodec_open2(cc, enc, nullptr) < 0) {
+    avcodec_free_context(&cc); avformat_free_context(oc);
+    *err = "encoder open failed"; return 1;
+  }
+  avcodec_parameters_from_context(st->codecpar, cc);
+  st->time_base = cc->time_base;
+  if (!(oc->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) {
+    avcodec_free_context(&cc); avformat_free_context(oc);
+    *err = "cannot open output file"; return 1;
+  }
+  if (avformat_write_header(oc, nullptr) < 0) {
+    avcodec_free_context(&cc); avformat_free_context(oc);
+    *err = "cannot write container header"; return 1;
+  }
+
+  AVFrame* fr = av_frame_alloc();
+  AVPacket* pk = av_packet_alloc();
+  int frame_len = cc->frame_size > 0 ? cc->frame_size : 4096;
+  long pos = 0;
+  int64_t pts = 0;
+  int rc_all = 0;
+
+  auto pump = [&](AVFrame* f) -> int {
+    if (avcodec_send_frame(cc, f) < 0) return 1;
+    while (true) {
+      int rc = avcodec_receive_packet(cc, pk);
+      if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+      if (rc < 0) return 1;
+      av_packet_rescale_ts(pk, cc->time_base, st->time_base);
+      pk->stream_index = st->index;
+      if (av_interleaved_write_frame(oc, pk) < 0) return 1;
+    }
+  };
+
+  while (pos < n && rc_all == 0) {
+    int len = (int)std::min((long)frame_len, n - pos);
+    fr->nb_samples = len;
+    fr->format = cc->sample_fmt;
+    av_channel_layout_copy(&fr->ch_layout, &cc->ch_layout);
+    if (av_frame_get_buffer(fr, 0) < 0) { rc_all = 1; break; }
+    // mono: planar and packed layouts coincide
+    switch (av_get_packed_sample_fmt(cc->sample_fmt)) {
+      case AV_SAMPLE_FMT_FLT:
+        memcpy(fr->extended_data[0], x + pos, (size_t)len * 4); break;
+      case AV_SAMPLE_FMT_DBL: {
+        double* d = (double*)fr->extended_data[0];
+        for (int i = 0; i < len; ++i) d[i] = x[pos + i];
+      } break;
+      case AV_SAMPLE_FMT_S16: {
+        int16_t* d = (int16_t*)fr->extended_data[0];
+        for (int i = 0; i < len; ++i) {
+          double v = std::max(-1.0, std::min(32767.0 / 32768.0, (double)x[pos + i]));
+          d[i] = (int16_t)std::lround(v * 32768.0);
+        }
+      } break;
+      case AV_SAMPLE_FMT_S32: {
+        int32_t* d = (int32_t*)fr->extended_data[0];
+        for (int i = 0; i < len; ++i) {
+          double v = std::max(-1.0, std::min(1.0, (double)x[pos + i]));
+          d[i] = (int32_t)std::llround(v * 2147483647.0);
+        }
+      } break;
+      default: rc_all = 1; break;
+    }
+    fr->pts = pts;
+    pts += len;
+    pos += len;
+    if (rc_all == 0) rc_all = pump(fr);
+    av_frame_unref(fr);
+  }
+  if (rc_all == 0) rc_all = pump(nullptr);  // flush
+  if (rc_all == 0 && av_write_trailer(oc) < 0) rc_all = 1;
+
+  av_packet_free(&pk);
+  av_frame_free(&fr);
+  avcodec_free_context(&cc);
+  if (!(oc->oformat->flags & AVFMT_NOFILE) && oc->pb) avio_closep(&oc->pb);
+  avformat_free_context(oc);
+  if (rc_all) { *err = "lossy encode failed"; return 1; }
+  return 0;
+}
+
+#else  // !NA_HAVE_LIBAV
+
+int decode_libav(const char* path, std::vector<float>* mono, int* sr_out,
+                 std::string* err, double* chpeak) {
+  (void)path; (void)mono; (void)sr_out; (void)chpeak;
+  *err = "unsupported container (this build decodes FLAC and WAV only; "
+         "lossy formats need the libav* system libraries at build time)";
+  return 1;
+}
+
+int encode_libav(const char* path, const float* x, long n, int sr,
+                 const char* codec_name, int bitrate, std::string* err) {
+  (void)path; (void)x; (void)n; (void)sr; (void)codec_name; (void)bitrate;
+  *err = "lossy encode unavailable (built without libav*)";
+  return 1;
+}
+
+#endif  // NA_HAVE_LIBAV
+
 thread_local std::string g_err;
 
 }  // namespace
@@ -622,7 +983,7 @@ thread_local std::string g_err;
 // ── C ABI ────────────────────────────────────────────────────────────────────
 extern "C" {
 
-int na_version() { return 10; }
+int na_version() { return 11; }
 
 const char* na_last_error() { return g_err.c_str(); }
 
@@ -636,7 +997,12 @@ static int to_heap(const std::vector<float>& v, float** out, long* n_out) {
   return 0;
 }
 
-int na_decode(const char* path, float** out, long* n_out, int* sr_out) {
+// Decode any supported container to mono float32 at native rate.
+// peak_out (nullable): pre-mixdown per-channel absolute peak in [0, ..),
+// for clipping detection (reference loudness.py:40-65 reads channels via
+// soundfile always_2d and maxes over all of them).
+int na_decode_peak(const char* path, float** out, long* n_out, int* sr_out,
+                   double* peak_out) {
   FILE* f = fopen(path, "rb");
   if (!f) { g_err = "cannot open file"; return 1; }
   fseek(f, 0, SEEK_END);
@@ -650,12 +1016,17 @@ int na_decode(const char* path, float** out, long* n_out, int* sr_out) {
   std::vector<float> mono;
   int rc;
   if (size >= 4 && !memcmp(data.data(), "fLaC", 4))
-    rc = decode_flac(data.data(), data.size(), &mono, sr_out, &g_err);
+    rc = decode_flac(data.data(), data.size(), &mono, sr_out, &g_err, peak_out);
   else if (size >= 4 && !memcmp(data.data(), "RIFF", 4))
-    rc = decode_wav(data.data(), data.size(), &mono, sr_out, &g_err);
-  else { g_err = "unsupported container (supported: FLAC, WAV)"; return 1; }
+    rc = decode_wav(data.data(), data.size(), &mono, sr_out, &g_err, peak_out);
+  else
+    rc = decode_libav(path, &mono, sr_out, &g_err, peak_out);
   if (rc) return rc;
   return to_heap(mono, out, n_out);
+}
+
+int na_decode(const char* path, float** out, long* n_out, int* sr_out) {
+  return na_decode_peak(path, out, n_out, sr_out, nullptr);
 }
 
 int na_resample(const float* in, long n_in, int sr_in, int sr_out,
@@ -683,6 +1054,30 @@ int na_encode_wav(const char* path, const float* x, long n, int sr, int bits) {
 
 int na_encode_flac(const char* path, const float* x, long n, int sr) {
   return encode_flac(path, x, n, sr, &g_err);
+}
+
+// 1 when lossy decode/encode (MP3/AAC/OGG/M4A via libav*) is compiled in.
+int na_has_libav() {
+#ifdef NA_HAVE_LIBAV
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+int na_encode_lossy(const char* path, const float* x, long n, int sr,
+                    const char* codec, int bitrate) {
+  return encode_libav(path, x, n, sr, codec, bitrate, &g_err);
+}
+
+// Conformance oracle: decode via libav* regardless of container, bypassing
+// the first-party FLAC/WAV decoders — tests cross-validate our codec
+// against ffmpeg's independently (encoder out → ffmpeg in, and vice versa).
+int na_decode_oracle(const char* path, float** out, long* n_out, int* sr_out) {
+  std::vector<float> mono;
+  int rc = decode_libav(path, &mono, sr_out, &g_err, nullptr);
+  if (rc) return rc;
+  return to_heap(mono, out, n_out);
 }
 
 double na_peak_dbfs(const float* x, long n) {

@@ -73,14 +73,24 @@ def _acf_from_frames(windowed: jnp.ndarray, nfft: int, win_length: int):
 
 def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
                        win_length: int, stride: int = 1,
-                       chunk: int = 64) -> jnp.ndarray:
+                       chunk: int = 64,
+                       max_lag: int | None = None) -> jnp.ndarray:
     """Mean over frames of the per-frame normalized local ACF.
 
     ``env``: (frames,) onset envelope, zeros beyond ``n_valid``.
-    Returns ``(win_length,)`` — the aggregated tempogram column.
+    Returns ``(max_lag or win_length,)`` — the aggregated tempogram column.
+
+    ``max_lag`` truncates only the *output* lags while keeping the full
+    ``win_length`` analysis window: the window width sets the (1 - lag/W)
+    triangular taper of the local ACF, so shrinking the window (rather than
+    the lag range) would bias slow-BPM lags relative to librosa's ac_size
+    window and could flip octave picks near ties (round-1 advisor finding).
+    Normalization uses lag 0, which for a true windowed autocorrelation
+    equals the inf-norm librosa takes over the full column.
     """
     frames = env.shape[-1]
     half = win_length // 2
+    out_len = win_length if max_lag is None else min(max_lag, win_length)
     envp = jnp.pad(env, (half, half + win_length))
     window = jnp.asarray(filters.hann(win_length))
     nfft = _next_pow2(2 * win_length)
@@ -92,14 +102,14 @@ def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
     def body(acc, c):
         t0 = c * (chunk * stride)
         cols = jnp.take(envp, local + t0, axis=0)            # (chunk, win)
-        ac = _acf_from_frames(cols * window, nfft, win_length)
-        peak = jnp.max(jnp.abs(ac), axis=-1, keepdims=True)
+        ac = _acf_from_frames(cols * window, nfft, out_len)
+        peak = ac[..., :1]                   # lag 0 == max |ac| exactly
         ac = jnp.where(peak > 1e-20, ac / jnp.maximum(peak, 1e-20), 0.0)
         t_idx = t0 + jnp.arange(chunk) * stride
         m = (t_idx < n_valid)[:, None]
         return acc + jnp.sum(jnp.where(m, ac, 0.0), axis=0), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros(win_length), jnp.arange(n_chunks))
+    acc, _ = jax.lax.scan(body, jnp.zeros(out_len), jnp.arange(n_chunks))
     n_used = jnp.maximum((jnp.minimum(n_valid, frames) + stride - 1) // stride, 1)
     return acc / n_used
 

@@ -112,6 +112,24 @@ def main() -> int:
         return "C++ codec built; FLAC round-trip OK"
     _check("native audio runtime", codec)
 
+    def lossy():
+        import numpy as np
+        from . import native
+        if not native.has_lossy_codecs():
+            raise RuntimeError(
+                "built without libav* — MP3/AAC/OGG decode unavailable "
+                "(FLAC/WAV still fully supported)")
+        t = np.arange(22050) / 22050.0
+        y = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        with tempfile.TemporaryDirectory() as d:
+            p = str(Path(d) / "probe.mp3")
+            native.encode_lossy(p, y, 22050, "libmp3lame", 128_000)
+            z, sr, _pk = native.decode_native_peak(p)
+            if sr != 22050 or abs(len(z) - len(y)) > 4096:
+                raise RuntimeError("MP3 round-trip mismatch")
+        return "libav* linked; MP3 round-trip OK"
+    _check("lossy codecs (MP3/AAC/OGG via libav*)", lossy, required=False)
+
     def resampler():
         import numpy as np
         from . import native
