@@ -89,47 +89,73 @@ def compare_and_print(ref: SpectralStats, other: SpectralStats,
                       label_ref: str = "REFERENCE", label_other: str = "OTHER",
                       ref_path: Optional[str] = None,
                       other_path: Optional[str] = None) -> None:
-    """Plain-English comparison report (reference ``spectral.py:113-249``)."""
+    """Human-readable comparison report.
+
+    Decision thresholds mirror the reference (``spectral.py:113-249``):
+    ±10 % for brightness/rolloff/band flags, −30/−10 % for compression
+    severity, −20 % brilliance for the MP3 hint, decay > 0.8× with > 20 %
+    drift for the reverb hint, > 1 s for the duration note.  The wording
+    and layout are this implementation's own.
+    """
     W = 57
-    print()
-    print("=" * W)
-    print("SPECTRAL COMPARISON RESULTS")
-    print(f"  Reference : {label_ref}")
-    print(f"  Other     : {label_other}")
-    print("=" * W)
+    bar = "=" * W
+    print(f"\n{bar}\nSPECTRAL COMPARISON RESULTS\n"
+          f"  Reference : {label_ref}\n  Other     : {label_other}\n{bar}")
 
+    findings = []
+
+    def section(title, left, right, unit="Hz"):
+        print(f"\n{title}")
+        print(f"  {label_ref}: {left:.1f} {unit}  |  {label_other}: "
+              f"{right:.1f} {unit}")
+
+    # brightness (centroid)
     bd = _pct(ref.centroid, other.centroid)
-    print("\nBRIGHTNESS (Spectral Centroid)")
-    print(f"  {label_ref}: {ref.centroid:.1f} Hz  |  {label_other}: {other.centroid:.1f} Hz")
+    section("BRIGHTNESS (Spectral Centroid)", ref.centroid, other.centroid)
     if bd < -10:
-        print(f"  ! {label_other} is {abs(bd):.1f}% DARKER  -> likely low-pass filter applied")
+        print(f"  ! centroid sits {abs(bd):.1f}% lower in {label_other} — "
+              "a low-pass filter (or darker master) is the usual cause")
+        findings.append(f"low-pass filter ({abs(bd):.0f}% darker)")
     elif bd > 10:
-        print(f"  ! {label_other} is {bd:.1f}% BRIGHTER  -> likely high-pass or treble boost")
+        print(f"  ! centroid sits {bd:.1f}% higher in {label_other} — "
+              "treble lift or high-pass filtering")
+        findings.append(f"treble boost ({bd:.0f}% brighter)")
     else:
-        print(f"  OK  Similar brightness ({bd:+.1f}%)")
+        print(f"  OK  brightness matches to within the 10% band ({bd:+.1f}%)")
 
+    # rolloff
     rd = _pct(ref.rolloff, other.rolloff)
-    print("\nHIGH FREQUENCY ROLLOFF")
-    print(f"  {label_ref}: {ref.rolloff:.1f} Hz  |  {label_other}: {other.rolloff:.1f} Hz")
+    section("HIGH FREQUENCY ROLLOFF", ref.rolloff, other.rolloff)
     if rd < -10:
-        print(f"  ! {label_other} has {abs(rd):.1f}% less high-frequency energy  -> treble cut confirmed")
+        print(f"  ! the 85% energy point falls {abs(rd):.1f}% earlier in "
+              f"{label_other}: the top end has been cut")
+        findings.append(f"treble cut ({abs(rd):.0f}% rolloff reduction)")
     elif rd > 10:
-        print(f"  ! {label_other} has {rd:.1f}% more high-frequency energy  -> treble boost")
+        print(f"  ! the 85% energy point sits {rd:.1f}% higher in "
+              f"{label_other}: extra top-end energy")
     else:
-        print(f"  OK  Similar high-frequency content ({rd:+.1f}%)")
+        print(f"  OK  rolloff points agree ({rd:+.1f}%)")
 
+    # dynamics (RMS variance)
     vd = _pct(ref.rms_variance, other.rms_variance)
     print("\nDYNAMIC RANGE (Compression)")
-    print(f"  {label_ref} variance: {ref.rms_variance:.6f}  |  {label_other}: {other.rms_variance:.6f}")
+    print(f"  RMS variance — {label_ref}: {ref.rms_variance:.6f}  |  "
+          f"{label_other}: {other.rms_variance:.6f}")
     if vd < -30:
-        print(f"  ! {label_other} is {abs(vd):.1f}% more compressed  -> heavy limiting/compression")
+        print(f"  ! loudness variance down {abs(vd):.1f}% in {label_other}: "
+              "hard limiting / heavy compression")
+        findings.append(f"heavy compression ({abs(vd):.0f}% less dynamic range)")
     elif vd < -10:
-        print(f"  ! {label_other} is {abs(vd):.1f}% more compressed  -> moderate compression")
+        print(f"  ! loudness variance down {abs(vd):.1f}% in {label_other}: "
+              "some compression applied")
+        findings.append(f"moderate compression ({abs(vd):.0f}% less dynamic range)")
     elif vd > 30:
-        print(f"  ! {label_other} has {vd:.1f}% MORE dynamic range  -> less compressed than reference")
+        print(f"  ! {label_other} actually swings {vd:.1f}% wider — the "
+              "reference is the more compressed file")
     else:
-        print(f"  OK  Similar dynamic range ({vd:+.1f}%)")
+        print(f"  OK  comparable dynamics ({vd:+.1f}%)")
 
+    # five-band energy split
     print("\nFREQUENCY BAND BREAKDOWN")
     for name, rv, ov in [
             ("Sub-bass  (20–80 Hz)", ref.sub_bass, other.sub_bass),
@@ -138,49 +164,39 @@ def compare_and_print(ref: SpectralStats, other: SpectralStats,
             ("Presence  (2–6 kHz)", ref.presence, other.presence),
             ("Brilliance (6–20 kHz)", ref.brilliance, other.brilliance)]:
         diff = _pct(rv, ov)
-        tag = "OK" if abs(diff) < 10 else "! "
-        more = "more" if diff > 0 else "less"
-        print(f"  {tag}  {name}: {diff:+.1f}% ({more} in {label_other})")
+        mark = "OK" if abs(diff) < 10 else "! "
+        rel = "above" if diff > 0 else "below"
+        print(f"  {mark}  {name}: {label_other} {diff:+.1f}% ({rel} reference)")
+    brill_diff = _pct(ref.brilliance, other.brilliance)
+    if brill_diff < -20:
+        findings.append(f"reduced high-frequency content ({abs(brill_diff):.0f}% "
+                        "less brilliance — consistent with MP3 compression)")
 
+    # decay (reverb proxy)
     dd = _pct(ref.decay_rate, other.decay_rate)
     print("\nREVERB / DECAY")
-    if other.decay_rate > ref.decay_rate * 0.8 and abs(dd) > 20:
-        print(f"  ! {label_other} decays more slowly ({dd:+.1f}%)  -> possible reverb added")
+    reverb_hit = other.decay_rate > ref.decay_rate * 0.8 and abs(dd) > 20
+    if reverb_hit:
+        print(f"  ! energy after loud frames dies away {dd:+.1f}% slower in "
+              f"{label_other} — added reverb would do this")
+        findings.append("slower decay (possible reverb)")
     else:
-        print(f"  OK  Similar decay characteristics ({dd:+.1f}%)")
+        print(f"  OK  decay envelopes agree ({dd:+.1f}%)")
 
+    # duration
     dur_diff = abs(other.duration - ref.duration)
     if dur_diff > 1.0:
         print("\nDURATION NOTE")
-        print(f"  {label_ref}: {ref.duration:.1f} s  |  {label_other}: {other.duration:.1f} s")
-        print(f"  ! Files differ by {dur_diff:.1f} s  -> different edits, fade-in/out, or intro/outro")
+        print(f"  {label_ref}: {ref.duration:.1f} s  |  "
+              f"{label_other}: {other.duration:.1f} s")
+        print(f"  ! lengths disagree by {dur_diff:.1f} s — expect different "
+              "edits or added/removed intro/outro/fades")
+        findings.append(f"duration mismatch ({dur_diff:.1f} s — different edits)")
 
-    print()
-    print("=" * W)
-    print("SUMMARY")
-    print("=" * W)
-    issues = []
-    if bd < -10:
-        issues.append(f"low-pass filter ({abs(bd):.0f}% darker)")
-    elif bd > 10:
-        issues.append(f"treble boost ({bd:.0f}% brighter)")
-    if rd < -10:
-        issues.append(f"treble cut ({abs(rd):.0f}% rolloff reduction)")
-    if vd < -30:
-        issues.append(f"heavy compression ({abs(vd):.0f}% less dynamic range)")
-    elif vd < -10:
-        issues.append(f"moderate compression ({abs(vd):.0f}% less dynamic range)")
-    brill_diff = _pct(ref.brilliance, other.brilliance)
-    if brill_diff < -20:
-        issues.append(f"reduced high-frequency content ({abs(brill_diff):.0f}% "
-                      "less brilliance — consistent with MP3 compression)")
-    if other.decay_rate > ref.decay_rate * 0.8 and abs(dd) > 20:
-        issues.append("slower decay (possible reverb)")
-    if dur_diff > 1.0:
-        issues.append(f"duration mismatch ({dur_diff:.1f} s — different edits)")
-    if issues:
+    print(f"\n{bar}\nSUMMARY\n{bar}")
+    if findings:
         print(f"Detected differences in {label_other}:")
-        for item in issues:
+        for item in findings:
             print(f"  - {item}")
     else:
         print("No significant spectral differences detected.")
@@ -190,51 +206,57 @@ def compare_and_print(ref: SpectralStats, other: SpectralStats,
 
 def _quality_note(ref_path, other_path, ref: SpectralStats,
                   other: SpectralStats, label_ref: str, label_other: str):
-    """Format/quality verdict from measured effective bandwidth
-    (reference ``spectral.py:252-359``)."""
+    """Transcode detection from measured effective bandwidth.
+
+    A lossless container whose spectrum stops at an MP3-typical cutoff
+    (grading table in :func:`transcode_grade`, reference
+    ``spectral.py:288-298``) was almost certainly re-encoded from a lossy
+    original; the verdict lines report which side, if either, survives
+    that test.
+    """
     if not ref_path or not other_path:
         return
 
-    def fmt(p):
+    def ext(p):
         return str(p).rsplit(".", 1)[-1].lower() if "." in str(p) else "?"
 
-    fmt_ref, fmt_other = fmt(ref_path), fmt(other_path)
-    ref_cl = fmt_ref in _LOSSLESS_EXT
-    other_cl = fmt_other in _LOSSLESS_EXT
-    ref_tc = transcode_grade(ref.effective_bandwidth_hz) if ref_cl else None
-    other_tc = transcode_grade(other.effective_bandwidth_hz) if other_cl else None
-    ref_true = ref_cl and ref_tc is None
-    other_true = other_cl and other_tc is None
+    sides = []
+    for label, path, st in ((label_ref, ref_path, ref),
+                            (label_other, other_path, other)):
+        e = ext(path)
+        claims_lossless = e in _LOSSLESS_EXT
+        grade = (transcode_grade(st.effective_bandwidth_hz)
+                 if claims_lossless else None)
+        sides.append((label, e, claims_lossless, grade,
+                      st.effective_bandwidth_hz))
 
-    print()
-    print("FORMAT / QUALITY NOTE")
-    print(f"  Container: {label_ref} → {fmt_ref.upper()}   |   "
-          f"{label_other} → {fmt_other.upper()}")
-    print(f"  Effective bandwidth: {label_ref} → "
-          f"{ref.effective_bandwidth_hz / 1000:.1f} kHz   |   "
-          f"{label_other} → {other.effective_bandwidth_hz / 1000:.1f} kHz")
+    print("\nFORMAT / QUALITY NOTE")
+    print(f"  Container: {label_ref} → {sides[0][1].upper()}   |   "
+          f"{label_other} → {sides[1][1].upper()}")
+    print(f"  Effective bandwidth: {label_ref} → {sides[0][4] / 1000:.1f} kHz"
+          f"   |   {label_other} → {sides[1][4] / 1000:.1f} kHz")
 
-    for label, cl, tc, bw, f in [
-            (label_ref, ref_cl, ref_tc, ref.effective_bandwidth_hz, fmt_ref),
-            (label_other, other_cl, other_tc, other.effective_bandwidth_hz, fmt_other)]:
-        if cl and tc and bw:
-            print(f"  ! {label} ({f.upper()}) — spectral content cuts off at "
-                  f"~{bw / 1000:.1f} kHz, consistent with {tc} encoding. The "
-                  "file looks like a lossy-to-lossless transcode; a lossless "
-                  "container does NOT guarantee lossless audio.")
+    for label, e, claims, grade, bw in sides:
+        if claims and grade and bw:
+            print(f"  ! {label} ({e.upper()}) stops at ~{bw / 1000:.1f} kHz — "
+                  f"the cutoff signature of {grade}. Expect a lossy rip "
+                  "repackaged in a lossless container (the container proves "
+                  "nothing about the audio inside).")
 
+    ref_true = sides[0][2] and sides[0][3] is None
+    other_true = sides[1][2] and sides[1][3] is None
     if ref_true and not other_true:
-        print(f"  Verdict: {label_ref} is genuinely lossless — "
-              f"{label_other} is lower quality.")
+        print(f"  Verdict: only {label_ref} holds up as true lossless; "
+              f"{label_other} is the lower-quality side.")
     elif other_true and not ref_true:
-        print(f"  Verdict: {label_other} is genuinely lossless but {label_ref} "
-              "is not — check that files are in the correct order.")
+        print(f"  Verdict: {label_other} tests as true lossless while "
+              f"{label_ref} does not — the two files may have been swapped.")
     elif not ref_true and not other_true:
-        print("  Verdict: Neither file appears to be a genuine lossless master.")
+        print("  Verdict: neither file passes the lossless test.")
     else:
-        print("  Verdict: Both files appear to be genuinely lossless.")
+        print("  Verdict: both files pass the lossless test.")
 
     if ref_true and not other_true and _pct(ref.brilliance, other.brilliance) > 20:
-        print(f"  Warning: {label_other} (lower quality by format) has more "
-              f"high-frequency content than {label_ref}. The files may be in "
-              "the wrong order.")
+        print(f"  Warning: the nominally lower-quality {label_other} carries "
+              f"MORE top-end than {label_ref} — double-check the argument "
+              "order.")

@@ -117,8 +117,8 @@ def _run_pipeline(nightcore: Path, source: Path, step_label: str,
     _hr()
     print(f"  {step_label}")
     _hr()
-    print(f"  Nightcore : {nightcore.name}")
-    print(f"  Source    : {source.name}")
+    print(f"  Nightcore file: {nightcore.name}")
+    print(f"  Source file   : {source.name}")
     print()
     return pipeline.run(str(nightcore), str(source),
                         src_trim_sec=src_trim_sec,
@@ -132,40 +132,39 @@ def _print_speed_result(result, hq: Path, ncog: Path) -> None:
     _hr("═")
     print("  SPEED COMPARISON RESULTS")
     _hr("═")
-    print(f"  Speed factor  : {tr:.6f}×  (windowed BPM ratio)")
+    print(f"  Windowed-BPM speed : {tr:.6f}×   95% CI "
+          f"[{result.tempo_ci[0]:.4f}, {result.tempo_ci[1]:.4f}]")
     if result.ibi_ratio is not None:
-        print(f"  IBI ratio     : {result.ibi_ratio:.6f}×  "
-              "(beat timestamps — higher precision)")
+        print(f"  Beat-interval speed: {result.ibi_ratio:.6f}×   95% CI "
+              f"[{result.ibi_ci[0]:.6f}, {result.ibi_ci[1]:.6f}]"
+              "   <- finer estimator")
     if result.n_source_pitch_windows > 0:
-        print(f"  Pitch ratio   : {pr:.6f}")
-    print(f"  Classification: {result.classification}")
+        print(f"  Pitch ratio        : {pr:.6f}")
+    print(f"  Classified as      : {result.classification}")
     if result.intro_offset_sec is not None:
-        print(f"  Intro offset  : {result.intro_offset_sec:.2f}s trimmed "
-              "from source (excluded from analysis)")
-    lo, hi = result.tempo_ci
-    print(f"  Tempo 95% CI  : [{lo:.4f}, {hi:.4f}]")
-    if result.ibi_ci is not None:
-        print(f"  IBI   95% CI  : [{result.ibi_ci[0]:.6f}, {result.ibi_ci[1]:.6f}]")
+        print(f"  Intro offset       : dropped the first "
+              f"{result.intro_offset_sec:.2f}s of the source before analysis")
     if result.nc_median_bpm and result.src_median_bpm:
-        print(f"  Median BPMs   : NCOG {result.nc_median_bpm:.1f} BPM  |  "
-              f"HQ {result.src_median_bpm:.1f} BPM")
+        print(f"  Detected BPM       : {result.nc_median_bpm:.1f} (NCOG) vs "
+              f"{result.src_median_bpm:.1f} (HQ), medians over windows")
     if result.nc_duration and result.src_duration:
         dr = result.src_duration / result.nc_duration
-        print(f"  Durations     : NCOG {result.nc_duration:.3f} s  |  "
-              f"HQ {result.src_duration:.3f} s  (after silence trim)")
-        print(f"  Duration ratio: {dr:.6f}×  (HQ÷NCOG)  |  inverse: {1.0 / dr:.6f}×")
+        print(f"  Trimmed lengths    : {result.nc_duration:.3f}s (NCOG) vs "
+              f"{result.src_duration:.3f}s (HQ)"
+              f"  ->  length ratio {dr:.6f}× / {1.0 / dr:.6f}×")
 
     if result.n_source_pitch_windows > 0 and tr > 0:
         pt_diff = abs(pr - tr) / tr
         if pt_diff > PITCH_TEMPO_TOLERANCE:
             extra = -12 * math.log2(pr / tr)
-            print(f"\n  Note: pitch ratio ({pr:.4f}) and tempo ratio ({tr:.4f})"
-                  f" differ by {pt_diff * 100:.1f}% — roughly {extra:+.2f} st of"
-                  " extra pitch processing on top of the speed-up.")
+            print(f"\n  Pitch ({pr:.4f}) tracks the tempo ({tr:.4f}) only to "
+                  f"{pt_diff * 100:.1f}% — about {extra:+.2f} st of pitch "
+                  "processing beyond the plain speed-up.")
         else:
-            print("\n  Pitch and tempo ratios agree — consistent with a pure speed-up.")
+            print("\n  Pitch moved together with tempo: a plain resampling "
+                  "speed-up explains both.")
     elif result.n_source_pitch_windows == 0:
-        print("\n  Pitch analysis will be run as a separate step.")
+        print("\n  (Pitch gets its own step later in the suite.)")
 
     for w in result.warnings:
         print(f"  Warning: {w[:200]}")
@@ -174,23 +173,24 @@ def _print_speed_result(result, hq: Path, ncog: Path) -> None:
     if tr > 0:
         inv = 1.0 / tr
         if abs(tr - 1.0) < NEAR_UNITY:
-            print("  If files are swapped: speed would also be ~1.000× (no difference).")
+            print("  Swapped-order check: speed ≈ 1.000× either way, so file "
+                  "order cannot be confirmed from tempo alone.")
         elif inv < 1.0:
-            print(f"  If files are swapped: speed = 1 / {tr:.4f} = {inv:.6f}×  "
-                  "(would SLOW DOWN HQ — file order looks correct)")
+            print(f"  Swapped-order check: reversing the files would give "
+                  f"{inv:.6f}× (a slow-down) — the order you gave looks right.")
         else:
-            print(f"  If files are swapped: speed = 1 / {tr:.4f} = {inv:.6f}×  "
-                  "(would speed up HQ — double-check which file is the nightcore)")
+            print(f"  Swapped-order check: reversing the files would give "
+                  f"{inv:.6f}× (a speed-UP of the 'source') — make sure the "
+                  "nightcore really is the first file.")
 
     hqnc = _hqnc_path(hq)
     print()
     if result.ibi_ratio is not None:
-        print("  Recommended speed command (IBI — higher precision):")
+        print("  To render the HQ nightcore, prefer the beat-interval factor:")
         print(f"    sox '{hq}' '{hqnc}' speed {result.ibi_ratio:.6f}")
-        print("  Alternative (windowed BPM ratio):")
-        print(f"    sox '{hq}' '{hqnc}' speed {tr:.6f}")
+        print(f"  (windowed-BPM fallback: speed {tr:.6f})")
     else:
-        print("  Recommended speed command:")
+        print("  To render the HQ nightcore:")
         print(f"    sox '{hq}' '{hqnc}' speed {tr:.6f}")
     note = _lossy_note(hq)
     if note:
@@ -206,36 +206,37 @@ def _print_verification_result(result, hqnc: Path, ncog: Path) -> bool:
     _hr("═")
     print("  VERIFICATION  (HQNC vs NCOG — nightcore ↔ nightcore)")
     _hr("═")
-    print(f"  Comparing : {hqnc.name}")
-    print(f"       vs   : {ncog.name}")
-    print(f"  BPM ratio  : {tr:.6f}×  (windowed, ±{NEAR_UNITY * 100:.0f}% tolerance)")
+    print(f"  {hqnc.name}  <->  {ncog.name}")
+    print(f"  Windowed BPM : {tr:.6f}×  (pass band ±{NEAR_UNITY * 100:.0f}%)")
     if result.ibi_ratio is not None:
         lo, hi = result.ibi_ci or (result.ibi_ratio, result.ibi_ratio)
-        print(f"  IBI ratio  : {result.ibi_ratio:.6f}×  95% CI [{lo:.6f}, {hi:.6f}]")
+        print(f"  Beat IBIs    : {result.ibi_ratio:.6f}×  "
+              f"95% CI [{lo:.6f}, {hi:.6f}]")
     if result.xcorr_ratio is not None:
         q = result.xcorr_quality or 0.0
         if q < XCORR_QUALITY_GATE:
-            print(f"  Xcorr ratio: {result.xcorr_ratio:.6f}×  quality {q:.2f}"
-                  " — result discarded (insufficient confidence)")
+            print(f"  Waveform xcorr: {result.xcorr_ratio:.6f}× at "
+                  f"confidence {q:.2f} — below the {XCORR_QUALITY_GATE:.2f} "
+                  "gate, ignored")
         else:
-            print(f"  Xcorr ratio: {result.xcorr_ratio:.6f}×  quality {q:.2f}"
-                  f" ({quality_label(q)})")
+            print(f"  Waveform xcorr: {result.xcorr_ratio:.6f}× at "
+                  f"confidence {q:.2f} ({quality_label(q)})")
     if result.nc_duration and result.src_duration:
         dr = result.src_duration / result.nc_duration
-        print(f"  Durations  : NCOG {result.nc_duration:.3f} s  |  "
-              f"HQNC {result.src_duration:.3f} s  (after silence trim)")
-        print(f"  Dur ratio  : {dr:.6f}×  (HQNC÷NCOG)  |  inverse: {1.0 / dr:.6f}×")
+        print(f"  Trimmed lengths: {result.nc_duration:.3f}s (NCOG) vs "
+              f"{result.src_duration:.3f}s (HQNC)  ->  {dr:.6f}× / "
+              f"{1.0 / dr:.6f}×")
         len_ratio = result.nc_duration / result.src_duration
         if abs(len_ratio - 1.0) > LEN_RATIO_WARN:
-            print(f"\n  ⚠️  Length difference after silence trim: "
+            print(f"\n  ⚠️  The two renditions differ in length by "
                   f"{abs(result.nc_duration - result.src_duration):.3f}s "
-                  f"(ratio {len_ratio:.4f})")
-            print("      Edit differences (intros/outros/internal cuts) can cause this;")
-            print("      it was not uncommon in old nightcore uploads.")
+                  f"even after silence trimming (ratio {len_ratio:.4f}) — "
+                  "typically a different cut (intro/outro or internal edit), "
+                  "which old uploads often had.")
         else:
-            print(f"  Length ratio: {len_ratio:.4f}  (within 0.5 % — "
-                  "no edit differences detected)")
-    print(f"  Pitch ratio: {pr:.6f}")
+            print(f"  Length check : ratio {len_ratio:.4f}, inside the 0.5% "
+                  "band — same cut of the song.")
+    print(f"  Pitch        : {pr:.6f}")
 
     if result.ibi_ratio is not None:
         tempo_ok = abs(result.ibi_ratio - 1.0) < IBI_TOLERANCE
@@ -245,24 +246,24 @@ def _print_verification_result(result, hqnc: Path, ncog: Path) -> bool:
 
     print()
     if tempo_ok and pitch_ok:
-        print("  Files are essentially identical in tempo and pitch.")
-        print("  HQNC is a faithful high-quality recreation of NCOG.")
+        print("  Tempo and pitch both land on 1.000× — the rendered HQNC "
+              "faithfully recreates the NCOG at full quality.")
     elif tempo_ok:
         st = -12 * math.log2(pr) if pr > 0 else 0.0
-        print(f"  Tempos match, but pitch differs by ~{st:+.2f} semitones.")
-        print("  NCOG appears to carry an additional pitch shift; add a"
-              " '--pitch' correction if you want to undo it.")
+        print(f"  Tempo is right, pitch is off by about {st:+.2f} st — the "
+              "NCOG carries its own pitch shift; a '--pitch' pass would "
+              "remove it.")
     else:
-        print(f"  Speed still differs by {(tr - 1.0) * 100:+.2f}%.")
+        print(f"  Speed is still {(tr - 1.0) * 100:+.2f}% away from unity.")
 
     ext_h = hqnc.suffix.lstrip(".").lower()
     ext_n = ncog.suffix.lstrip(".").lower()
-    tag = lambda e: "lossless container" if e in _LOSSLESS_EXTENSIONS else "lossy"  # noqa: E731
+    tag = lambda e: ("lossless container" if e in _LOSSLESS_EXTENSIONS  # noqa: E731
+                     else "lossy")
     print()
-    print(f"  Format: HQNC = {ext_h.upper()} ({tag(ext_h)})  |  "
-          f"NCOG = {ext_n.upper()} ({tag(ext_n)})")
-    print("  Run spectral analysis for the full quality assessment "
-          "(incl. transcode detection).")
+    print(f"  Containers: HQNC {ext_h.upper()} ({tag(ext_h)}), "
+          f"NCOG {ext_n.upper()} ({tag(ext_n)}) — the spectral step "
+          "grades actual quality (incl. transcode detection).")
     return tempo_ok
 
 
@@ -328,35 +329,34 @@ def run_loudness_adjustment(src: Path) -> None:
     _hr("═")
     print("  LOUDNESS ADJUSTMENT")
     _hr("═")
-    print(f"  File: {src.name}")
+    print(f"  Target: {src.name}")
     print()
-    print("  Method options:")
-    print("    [l]  True Peak Limiter  (recommended — surgical, preserves dynamic range)")
-    print("    [g]  Gain Reduction     (brute force — shifts entire signal down by N dB)")
+    print("  Two ways to pull the level down:")
+    print("    [l]  true-peak limiter — touches only the samples over the "
+          "ceiling (keeps dynamics; the usual choice)")
+    print("    [g]  fixed gain — drops the whole track by N dB")
     print()
 
     current, version = src, 0
     while True:
-        print(f"  Scanning: {current.name} …")
+        print(f"  Measuring peak of {current.name} …")
         peak_db, clipping = lda.detect_peak(current)
         if peak_db == float("-inf"):
-            print("  Peak: -inf dBFS  (file appears silent)")
-            print("  File is silent — nothing to adjust.")
+            print("  Peak: -inf dBFS — the file contains only silence, "
+                  "leaving it untouched.")
             break
         print(f"  Peak: {peak_db:+.2f} dBFS"
               f"{'  !! CLIPPING' if clipping else '  OK'}")
 
         if not clipping:
-            print("\n  No clipping detected (peak is below 0 dBFS).")
-            if _prompt_choice("  Continue anyway (adjust even though not "
-                              "needed)?", "yne", "n") != "y":
-                print("  No adjustment applied.")
+            print("\n  Peak stays under 0 dBFS — no clipping to fix.")
+            if _prompt_choice("  Adjust anyway?", "yne", "n") != "y":
+                print("  Leaving the file as-is.")
                 break
 
         print()
         method = _prompt_choice(
-            "  Adjustment method?  [l] True Peak Limiter  [g] Gain Reduction",
-            "lge")
+            "  Which method?  [l] true-peak limiter  [g] fixed gain", "lge")
         version += 1
         dst = lda.make_adj_path(src, version)
 
@@ -365,40 +365,40 @@ def run_loudness_adjustment(src: Path) -> None:
             try:
                 limit_db = float(raw) if raw else -0.1
             except ValueError:
-                print("  Invalid value — using default -0.1 dBFS.")
+                print("  Could not parse that — falling back to -0.1 dBFS.")
                 limit_db = -0.1
             limit_db = min(limit_db, 0.0)
-            print(f"  Ceiling : {limit_db:.1f} dBFS")
-            print(f"  Output  : {dst.name}")
+            print(f"  Limiting to {limit_db:.1f} dBFS  ->  {dst.name}")
             lda.apply_true_peak_limiter(current, dst, limit_db=limit_db)
         else:
             raw = input("  Gain reduction in dB (default -1.0): ").strip()
             try:
                 gain_db = float(raw) if raw else -1.0
             except ValueError:
-                print("  Invalid value — using default -1.0 dB.")
+                print("  Could not parse that — falling back to -1.0 dB.")
                 gain_db = -1.0
             gain_db = min(gain_db, 0.0)
-            print(f"  Gain    : {gain_db:.1f} dB")
-            print(f"  Output  : {dst.name}")
+            print(f"  Applying {gain_db:.1f} dB  ->  {dst.name}")
             lda.apply_gain_reduction(current, dst, gain_db=gain_db)
 
-        print(f"\n  Verifying {dst.name} …")
+        print(f"\n  Re-measuring {dst.name} …")
         new_peak, still = lda.detect_peak(dst)
         print(f"  Peak (after): {new_peak:+.2f} dBFS"
               f"{'  !! still clipping' if still else '  OK'}")
-        print("\n  " + ("Clipping resolved.  Final file: " + dst.name
-                        if not still else "File is still clipping after adjustment."))
+        print("\n  " + (f"Clipping gone — final file: {dst.name}"
+                        if not still
+                        else "Still clipping; another pass may be needed."))
 
         if _prompt_choice(
-                f"\n  Run another pass (would create "
-                f"{lda.make_adj_path(src, version + 1).name})?", "yne", "n") != "y":
+                f"\n  Run another pass (next file would be "
+                f"{lda.make_adj_path(src, version + 1).name})?",
+                "yne", "n") != "y":
             break
         current = dst
 
     print()
     _hr()
-    print("  Loudness adjustment complete.")
+    print("  Loudness step finished.")
     _hr()
 
 
@@ -433,8 +433,8 @@ def run_pitch_analysis(src_path: Path, nc_path: Path, *,
     _hr()
     print(f"  {label}")
     _hr()
-    print(f"  Source    : {src_path.name}")
-    print(f"  Nightcore : {nc_path.name}")
+    print(f"  Source file   : {src_path.name}")
+    print(f"  Nightcore file: {nc_path.name}")
     print()
 
     out = _pitch_shift_between(src_path, nc_path)
@@ -444,14 +444,14 @@ def run_pitch_analysis(src_path: Path, nc_path: Path, *,
 
     print()
     _hr("═")
-    print("  PITCH ANALYSIS RESULTS")
+    print("  PITCH SHIFT — RESULT")
     _hr("═")
-    print(f"  Pitch ratio   : {ratio:.6f}  ({shift_st:+.6f} semitones)")
-    print("  Pitch method  : chroma_xcorr")
-    print(f"  Samples used  : {n_used} chunks")
+    print(f"  Ratio {ratio:.6f}  =  {shift_st:+.6f} semitones  "
+          f"(chroma xcorr over {n_used} chunks)")
+    
 
     if shift_st == 0.0:
-        print("\n  No pitch shift detected.")
+        print("\n  The two files sit at the same pitch — nothing to correct.")
         return None
     if abs(shift_st) < PITCH_SIGNIFICANT_ST:
         print(f"\n  Small pitch shift detected: {shift_st:+.6f} st — below "
@@ -484,12 +484,11 @@ def run_pitch_analysis(src_path: Path, nc_path: Path, *,
         _, shift_st, n_used = out
         print()
         _hr("═")
-        print("  PITCH VERIFICATION RESULTS")
+        print("  PITCH — POST-CORRECTION CHECK")
         _hr("═")
-        print(f"  Residual shift: {shift_st:+.6f} st")
-        print(f"  Samples used  : {n_used} chunks")
+        print(f"  Residual shift: {shift_st:+.6f} st  (over {n_used} chunks)")
         if abs(shift_st) < PITCH_SIGNIFICANT_ST:
-            print("\n  Pitch correction successful — residual within ±0.5 st.")
+            print("\n  Residual is inside the ±0.5 st window — correction done.")
             break
         print(f"\n  Residual {shift_st:+.6f} st still exceeds the 0.5 st "
               "threshold.")
@@ -504,7 +503,7 @@ def run_full_suite(hq: Path, ncog: Path, src_trim_sec: float = 0.0) -> None:
     print("  FULL SUITE")
     _hr("═")
 
-    print("\n  Step 1/5 — Speed comparison  (HQ vs NCOG)")
+    print("\n  Step 1/5 — speed relationship between HQ and NCOG")
     result1 = _run_pipeline(ncog, hq, "Analysing HQ vs NCOG…",
                             src_trim_sec=src_trim_sec, compute_pitch=False)
     _print_speed_result(result1, hq, ncog)
@@ -574,22 +573,22 @@ def run_full_suite(hq: Path, ncog: Path, src_trim_sec: float = 0.0) -> None:
             create_speed_changed_file(hq, nxt, corrected)
             hqnc, current_speed = nxt, corrected
     else:
-        print("\n  Step 2/5 — Skipped (no HQNC created).")
+        print("\n  Step 2/5 — skipped (nothing to verify without an HQNC).")
 
     print()
     _hr("═")
-    print("  Step 3/5 — Pitch analysis")
+    print("  Step 3/5 — pitch relationship")
     _hr("═")
     psfile: Optional[Path] = None
     if _prompt_choice("  Run pitch analysis?", "yn", "y") == "y":
         pitch_src = hqnc if (hqnc and hqnc.is_file()) else hq
         psfile = run_pitch_analysis(
             pitch_src, ncog,
-            label=f"Step 3/5 — Pitch analysis  ({pitch_src.name} vs {ncog.name})")
+            label=f"Step 3/5 — pitch: {pitch_src.name} vs {ncog.name}")
 
     print()
     _hr("═")
-    print("  Step 4/5 — Spectral analysis")
+    print("  Step 4/5 — spectral comparison")
     _hr("═")
     if _prompt_choice("  Run spectral analysis?", "yn", "y") == "y":
         best = psfile if (psfile and psfile.is_file()) else hqnc
@@ -663,12 +662,12 @@ def main() -> None:
     _hr("═")
     print("  NIGHTCORE ANALYZER (TPU) — WORKFLOW")
     _hr("═")
-    print("  [f]  Full suite  (speed → create HQNC → verification → pitch → spectral → loudness)")
-    print("  [s]  Speed comparison  (+ optional HQNC creation + optional spectral)")
-    print("  [p]  Pitch analysis  (standalone two-file chroma xcorr)")
-    print("  [a]  Spectral analysis  (standalone two-file comparison)")
-    print("  [l]  Loudness adjustment  (clipping detection + limiter / gain)")
-    print("  [e]  Exit")
+    print("  [f]  full pass: speed -> HQNC render -> verify -> pitch -> spectral -> loudness")
+    print("  [s]  speed only (optionally render the HQNC and compare spectra)")
+    print("  [p]  pitch only (chroma cross-correlation of two files)")
+    print("  [a]  spectral report for any two files")
+    print("  [l]  loudness: find clipping, fix with limiter or gain")
+    print("  [e]  quit")
     print()
 
     mode = _prompt_choice("Choose mode", "fspale")

@@ -98,7 +98,7 @@ def test_full_suite_happy_path(monkeypatch, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "SPEED COMPARISON RESULTS" in out
     assert "VERIFICATION" in out
-    assert "faithful high-quality recreation" in out
+    assert "faithfully recreates the NCOG" in out
     hqnc = workflow._hqnc_path(hq)
     assert hqnc.is_file()                    # artefact created natively
     z, zsr = native.decode_native(str(hqnc))
