@@ -154,7 +154,7 @@ def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
     bpm0_f = start_bpms.reshape(-1)
 
     n_frames = jax.vmap(lambda n: onset.onset_frames_valid(n, cfg.ibi_hop))(ns_f)
-    mel = jax.vmap(lambda y: onset.mel_power_global(y, cfg))(ys_f)
+    mel = onset.mel_power_global_batch(ys_f, cfg)
     env = jax.vmap(lambda m, f: onset.onset_envelope_from_mel(
         m, f, cfg.tempo_n_fft, cfg.ibi_hop))(mel, n_frames)
     # Full librosa ac_size window (2756 frames = 8 s at hop 64); only the

@@ -25,7 +25,7 @@ __all__ = ["rfft_mxu", "rfft_auto"]
 
 @lru_cache(maxsize=8)
 def _factors(n: int):
-    assert n % 2048 == 0 or n in (1024, 2048, 4096, 8192), n
+    assert n % 2048 == 0 or n in (512, 1024, 2048, 4096, 8192), n
     n1 = 128
     n2 = n // n1
     k2g, n2g = np.meshgrid(np.arange(n2), np.arange(n2), indexing="ij")
@@ -92,6 +92,6 @@ def _use_mxu() -> bool:
 
 def rfft_auto(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """MXU rfft on TPU; exact ``jnp.fft.rfft`` elsewhere."""
-    if _use_mxu() and x.shape[-1] in (1024, 2048, 4096, 8192):
+    if _use_mxu() and x.shape[-1] in (512, 1024, 2048, 4096, 8192):
         return rfft_mxu(x, dtype)
     return jnp.fft.rfft(x, axis=-1)

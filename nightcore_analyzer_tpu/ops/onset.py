@@ -30,7 +30,8 @@ from . import filters
 from .spectrum import frame_interleaved, interleave_params, power_to_db
 
 __all__ = ["onset_pad_width", "mel_power_windows", "mel_power_global",
-           "onset_envelope_from_mel", "onset_frames_valid"]
+           "mel_power_global_batch", "onset_envelope_from_mel",
+           "onset_frames_valid"]
 
 
 @lru_cache(maxsize=8)
@@ -152,6 +153,24 @@ def mel_power_global(y: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
 
     _, mels = jax.lax.scan(body, None, jnp.arange(n_chunks))
     return mels.reshape(n_chunks * chunk, cfg.n_mels)[:n_frames]
+
+
+def mel_power_global_batch(ys: jnp.ndarray, cfg: AnalyzerConfig) -> jnp.ndarray:
+    """Batched :func:`mel_power_global` over (S, max_samples) signals.
+
+    On TPU with the default geometry (n_fft 2048, hop 64, ≤128 mels) this
+    dispatches to the fused Pallas kernel (framing + factored rfft + mel in
+    VMEM, ops/pallas/melfft.py — 98 ms → 43 ms at production shape on v5e);
+    otherwise it falls back to the vmapped scan path.
+    """
+    from .fft_mxu import _use_mxu
+    from .pallas import melfft
+    if _use_mxu() and melfft.supported(cfg.tempo_n_fft, cfg.ibi_hop,
+                                       cfg.n_mels):
+        return melfft.mel_power_global_batch(
+            ys, sr=cfg.sample_rate, n_mels=cfg.n_mels,
+            n_frames=cfg.global_onset_frames)
+    return jax.vmap(lambda y: mel_power_global(y, cfg))(ys)
 
 
 def onset_envelope_from_mel(mel_power: jnp.ndarray, n_valid_frames: jnp.ndarray,

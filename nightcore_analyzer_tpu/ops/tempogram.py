@@ -40,6 +40,18 @@ from functools import lru_cache  # noqa: E402
 
 
 @lru_cache(maxsize=8)
+def _dft_direct(frame_len: int, nfft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Direct real-DFT matrices on the nfft bin grid for short frames:
+    ``spec = frames @ (Cr, Ci)`` — for small windows one clean f32 MXU
+    matmul beats the factored FFT, whose n2-lane intermediates (4 lanes at
+    nfft=512) pad 32× and drown in relayouts."""
+    t = np.arange(frame_len)[:, None]
+    k = np.arange(nfft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * t * k / nfft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@lru_cache(maxsize=8)
 def _acf_cos_matrix(nfft: int, win_length: int) -> np.ndarray:
     """Cosine matrix turning a power spectrum into its autocorrelation:
     ``ac = mag2 @ M`` with ``M[k, l] = w_k·cos(2πkl/nfft)/nfft``
@@ -61,10 +73,34 @@ def _acf_from_frames(windowed: jnp.ndarray, nfft: int, win_length: int):
     is NOT acceptable here (it flips tempo octaves).  The forward rfft stays
     exact for the same reason.
     """
-    from .fft_mxu import _use_mxu
-    spec = jnp.fft.rfft(windowed, n=nfft, axis=-1)
+    from .fft_mxu import _use_mxu, rfft_mxu
+    on_mxu = _use_mxu() and nfft in (512, 1024, 2048, 4096, 8192)
+    frame_len = windowed.shape[-1]
+    if on_mxu and frame_len * (nfft // 2 + 1) <= 600_000:
+        # short windows: direct real-DFT matmul at f32/HIGHEST (exact to
+        # ~1e-7 — the ACF argmax decides near-tied harmonic peaks, bf16 is
+        # NOT acceptable as it flips tempo octaves)
+        Cr, Ci = _dft_direct(frame_len, nfft)
+        hp = jax.lax.Precision.HIGHEST
+        xr = jnp.matmul(windowed, jnp.asarray(Cr),
+                        preferred_element_type=jnp.float32, precision=hp)
+        xi = jnp.matmul(windowed, jnp.asarray(Ci),
+                        preferred_element_type=jnp.float32, precision=hp)
+        mag2 = xr * xr + xi * xi
+        M = jnp.asarray(_acf_cos_matrix(nfft, win_length))
+        return jnp.matmul(mag2, M, preferred_element_type=jnp.float32,
+                          precision=hp)
+    if windowed.shape[-1] < nfft:
+        windowed = jnp.pad(
+            windowed, [(0, 0)] * (windowed.ndim - 1)
+            + [(0, nfft - windowed.shape[-1])])
+    if on_mxu:
+        # forward rfft as f32/HIGHEST MXU matmuls (exact to ~1e-7)
+        spec = rfft_mxu(windowed, dtype=jnp.float32)
+    else:
+        spec = jnp.fft.rfft(windowed, n=nfft, axis=-1)
     mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    if _use_mxu() and nfft in (1024, 2048, 4096, 8192):
+    if on_mxu:
         M = jnp.asarray(_acf_cos_matrix(nfft, win_length))
         return jnp.matmul(mag2, M, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
@@ -91,11 +127,36 @@ def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
     frames = env.shape[-1]
     half = win_length // 2
     out_len = win_length if max_lag is None else min(max_lag, win_length)
+    n_cols = -(-frames // stride)            # columns t = 0, stride, 2*stride…
+    n_used = jnp.maximum((jnp.minimum(n_valid, frames) + stride - 1) // stride, 1)
+
+    if stride > 1:
+        # Gather-free strided path: pad the analysis window with trailing
+        # zeros to a stride multiple, then the column frames decompose into
+        # P contiguous reshapes (spectrum.interleave_params) — ~5× cheaper
+        # than a (cols, win) take at the hop-64 IBI shape.  The zero tail
+        # cannot change the windowed frame, and the FFT length only needs
+        # win + out_len (lags beyond out_len are discarded, so circular
+        # wrap-around never reaches a kept lag).
+        from .spectrum import frame_interleaved, interleave_params
+        win_pad = -(-win_length // stride) * stride
+        P, K, n_padded, _ = interleave_params(n_cols, win_pad, stride)
+        nfft = _next_pow2(win_pad + out_len)
+        window = jnp.zeros(win_pad).at[:win_length].set(
+            jnp.asarray(filters.hann(win_length)))
+        envp = jnp.pad(env, (half, half + win_pad + (n_padded - n_cols) * stride))
+        cols = frame_interleaved(envp, n_cols, win_pad, stride)  # (P*K, wp)
+        ac = _acf_from_frames(cols * window, nfft, out_len)
+        peak = ac[..., :1]                   # lag 0 == max |ac| exactly
+        ac = jnp.where(peak > 1e-20, ac / jnp.maximum(peak, 1e-20), 0.0)
+        r = jnp.arange(P * K)
+        t_idx = (r % K) * P + r // K         # interleaved row → column index
+        m = (t_idx < n_used)[:, None]        # column t covers frame t*stride
+        return jnp.sum(jnp.where(m, ac, 0.0), axis=0) / n_used
+
     envp = jnp.pad(env, (half, half + win_length))
     window = jnp.asarray(filters.hann(win_length))
-    nfft = _next_pow2(2 * win_length)
-
-    n_cols = -(-frames // stride)            # columns t = 0, stride, 2*stride…
+    nfft = _next_pow2(win_length + out_len)
     n_chunks = -(-n_cols // chunk)
     local = jnp.arange(chunk)[:, None] * stride + jnp.arange(win_length)[None, :]
 
@@ -110,7 +171,6 @@ def tempogram_mean_acf(env: jnp.ndarray, n_valid: jnp.ndarray, *,
         return acc + jnp.sum(jnp.where(m, ac, 0.0), axis=0), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros(out_len), jnp.arange(n_chunks))
-    n_used = jnp.maximum((jnp.minimum(n_valid, frames) + stride - 1) // stride, 1)
     return acc / n_used
 
 

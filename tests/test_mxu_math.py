@@ -147,3 +147,41 @@ def test_tempo_subgrid_beats_grid(rng):
         hop_length=hop, sr=sr, subgrid=True))
     assert abs(sub - true_bpm) < abs(grid - true_bpm)
     assert sub == pytest.approx(true_bpm, rel=0.005)
+
+
+def test_melfft_frames_matches_exact(rng):
+    """Pallas fused rfft→mag²→mel (frames API, interpret mode) vs the exact
+    rfft + mel matmul the CPU path uses."""
+    from nightcore_analyzer_tpu.ops.pallas import melfft
+    from nightcore_analyzer_tpu.ops import filters
+    sr, n_mels, n_fft = 22050, 128, 2048
+    frames = rng.standard_normal((2, 40, n_fft)).astype(np.float32)
+    out = np.asarray(melfft.fft_mel_frames(
+        jnp.asarray(frames), sr=sr, n_mels=n_mels, interpret=True))
+    w = filters.hann(n_fft)
+    spec = np.fft.rfft(frames * w, axis=-1)
+    ref = (np.abs(spec) ** 2) @ filters.mel_filterbank(sr, n_fft, n_mels).T
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert out.shape == (2, 40, n_mels)
+    assert rel < 0.01                       # bf16 noise floor
+
+
+def test_melfft_fused_matches_scan_path(rng):
+    """Full fused gmel (signal in, framing inside the kernel) vs the scan
+    path of onset.mel_power_global — frame ordering, centering, and values
+    must agree to bf16 tolerance."""
+    from nightcore_analyzer_tpu.ops.pallas import melfft
+    from nightcore_analyzer_tpu.ops import onset
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    cfg = AnalyzerConfig(max_duration_sec=5.0, window_sec=2.0, hop_sec=1.0,
+                         max_beats=128, max_beats_window=16, frame_chunk=512)
+    S = 2
+    ys = rng.standard_normal((S, cfg.max_samples)).astype(np.float32)
+    fused = np.asarray(melfft.mel_power_global_batch(
+        jnp.asarray(ys), sr=cfg.sample_rate, n_mels=cfg.n_mels,
+        n_frames=cfg.global_onset_frames, interpret=True))
+    ref = np.asarray(jax.vmap(
+        lambda y: onset.mel_power_global(y, cfg))(jnp.asarray(ys)))
+    assert fused.shape == ref.shape
+    rel = np.abs(fused - ref).max() / np.abs(ref).max()
+    assert rel < 0.01
