@@ -41,7 +41,7 @@ def log(msg: str) -> None:
 
 def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
     from nightcore_analyzer_tpu.utils import synth
-    pairs = []
+    pairs, factors = [], []
     for i in range(n_pairs):
         bpm = [122.0, 128.0, 140.0, 150.0][i % 4]
         factor = [1.18, 1.22, 1.25, 1.30][(i // 4) % 4]
@@ -49,8 +49,43 @@ def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
                                tempo_drift=0.008)
         nc = synth.speed_shift(src, factor)
         pairs.append((nc, src))
+        factors.append(factor)
         log(f"  corpus pair {i + 1}/{n_pairs} (bpm {bpm}, factor {factor})")
-    return pairs
+    return pairs, factors
+
+
+def accuracy_report(pa, factors) -> dict:
+    """Per-pair oracle errors — the precision regression canary.
+
+    The corpus factors are ground truth (synth.speed_shift), so every
+    estimator's error is directly measurable.  Bars: the parity median-IBI
+    path must stay inside its hop-64 quantization envelope (≤0.6 % max),
+    the beyond-reference estimators must beat the reference's ~0.01 %
+    headline claim (reference README.md:39), and the chroma pitch must hit
+    its 1/3-semitone grid point exactly.
+    """
+    f = np.asarray(factors, np.float64)
+    err = lambda v: np.abs(np.asarray(v, np.float64) / f - 1.0) * 100  # noqa: E731
+    ibi = err(pa.ibi_ratio)
+    mean_ = err(pa.ibi_refined_ratio)
+    reg = err(pa.ibi_regression_ratio)
+    st = np.asarray(pa.pitch_point_st, np.float64)
+    expected_st = np.round(12.0 * np.log2(f) * 3.0) / 3.0
+    pitch_exact = int(np.sum(np.abs(st - expected_st) < 1e-6))
+    acc = {
+        "ibi_median_err_pct": round(float(np.median(ibi)), 5),
+        "ibi_max_err_pct": round(float(np.max(ibi)), 5),
+        "ibi_mean_median_err_pct": round(float(np.median(mean_)), 5),
+        "ibi_reg_median_err_pct": round(float(np.median(reg)), 5),
+        "ibi_reg_max_err_pct": round(float(np.max(reg)), 5),
+        "pitch_grid_exact": f"{pitch_exact}/{len(f)}",
+    }
+    acc["ok"] = bool(
+        acc["ibi_max_err_pct"] <= 0.6
+        and acc["ibi_mean_median_err_pct"] <= 0.01
+        and acc["ibi_reg_median_err_pct"] <= 0.01
+        and pitch_exact == len(f))
+    return acc
 
 
 def _force(out) -> None:
@@ -61,7 +96,7 @@ def _force(out) -> None:
     float(np.asarray(packed[0, 0]))
 
 
-def measure_tpu(pairs, duration: float, reps: int) -> float:
+def measure_tpu(pairs, factors, duration: float, reps: int):
     import jax
     from nightcore_analyzer_tpu.config import DEFAULT_CONFIG, bucket_for_duration
     from nightcore_analyzer_tpu.batch.corpus import CorpusAnalyzer, PairBuffers
@@ -96,10 +131,12 @@ def measure_tpu(pairs, duration: float, reps: int) -> float:
     t0 = time.time()
     out = analyzer.run_device(dev_args)
     _force(out)
-    _pa, stats = analyzer._unpack(np.asarray(out[0]), np.asarray(out[1]))
+    pa, stats = analyzer._unpack(np.asarray(out[0]), np.asarray(out[1]))
     log(f"  warmup {time.time() - t0:.1f}s; "
         f"mean tempo ratio {float(stats.mean_tempo_ratio):.4f} "
         f"({int(stats.n_ok)}/{B} analyzable)")
+    acc = accuracy_report(pa, factors)
+    log(f"  accuracy: {acc}")
 
     times = []
     for r in range(reps):
@@ -110,7 +147,7 @@ def measure_tpu(pairs, duration: float, reps: int) -> float:
         times.append(dt)
         log(f"  rep {r + 1}/{reps}: {dt:.3f}s  ({B / dt:.2f} pairs/s)")
     best = min(times)
-    return B / best
+    return B / best, acc
 
 
 def measure_cpu_baseline(duration: float, full_duration: float,
@@ -129,11 +166,19 @@ def measure_cpu_baseline(duration: float, full_duration: float,
                            tempo_drift=0.008)
     nc = synth.speed_shift(src, 1.25)
     log(f"measuring CPU baseline on one {duration:.0f}s pair…")
-    t0 = time.time()
-    out = analyze_pair_cpu(nc, src)
-    dt = time.time() - t0
-    log(f"  CPU: {dt:.1f}s per pair (tempo {out['tempo_ratio']:.4f}, "
-        f"ibi {out['ibi_ratio']})")
+    # Best of 2: the sandbox has one CPU core and background contention has
+    # inflated single measurements ~3×.  NOTE the denominator is the
+    # first-party numpy twin of the reference architecture
+    # (cpu_baseline/reference.py), not real librosa (uninstallable here) —
+    # its docstring argues it likely UNDERSTATES librosa's cost.
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        out = analyze_pair_cpu(nc, src)
+        dts.append(time.time() - t0)
+    dt = min(dts)
+    log(f"  CPU: {dt:.1f}s per pair (best of {len(dts)}; "
+        f"tempo {out['tempo_ratio']:.4f}, ibi {out['ibi_ratio']})")
     BASELINE_CACHE.write_text(json.dumps(
         {"duration": duration, "sec_per_pair": dt}))
     return dt * full_duration / duration
@@ -150,9 +195,9 @@ def main() -> int:
     args = ap.parse_args()
 
     log(f"generating corpus: {args.pairs} pairs × {args.duration:.0f}s…")
-    pairs = make_corpus(args.pairs, args.duration)
+    pairs, factors = make_corpus(args.pairs, args.duration)
 
-    pairs_per_sec = measure_tpu(pairs, args.duration, args.reps)
+    pairs_per_sec, acc = measure_tpu(pairs, factors, args.duration, args.reps)
 
     cpu_sec_per_pair = measure_cpu_baseline(
         args.baseline_duration, args.duration, args.skip_baseline)
@@ -164,8 +209,9 @@ def main() -> int:
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(vs, 1),
+        "accuracy": acc,
     }))
-    return 0
+    return 0 if acc["ok"] else 3
 
 
 if __name__ == "__main__":

@@ -281,6 +281,8 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         result.ibi_ratio = float(g(pa.ibi_ratio))
         result.ibi_ci = (float(g(pa.ibi_lo)), float(g(pa.ibi_hi)))
         result.ibi_refined_ratio = float(g(pa.ibi_refined_ratio))
+        reg = float(g(pa.ibi_regression_ratio))
+        result.ibi_regression_ratio = reg if reg > 0 else None
 
     off = float(g(pa.intro_offset)) / sr
     result.intro_offset_sec = off if off > 0 else None

@@ -46,6 +46,7 @@ class AnalysisResult:
     ibi_ratio: Optional[float] = None
     ibi_ci: Optional[Tuple[float, float]] = None
     ibi_refined_ratio: Optional[float] = None   # mean-IBI (sub-grid) estimate
+    ibi_regression_ratio: Optional[float] = None  # beat-time LS-slope estimate
     xcorr_ratio: Optional[float] = None
     xcorr_quality: Optional[float] = None
     intro_offset_sec: Optional[float] = None
@@ -91,7 +92,11 @@ class AnalysisResult:
         if self.ibi_refined_ratio is not None:
             lines.append(
                 f"IBI mean ratio  : {self.ibi_refined_ratio:.6f}"
-                "  (grid-interpolating mean — finest estimate)")
+                "  (grid-interpolating mean)")
+        if self.ibi_regression_ratio is not None:
+            lines.append(
+                f"IBI regression  : {self.ibi_regression_ratio:.6f}"
+                "  (beat-time least-squares slope — finest estimate)")
 
         tr = self.tempo_ratio
         if tr > 0:

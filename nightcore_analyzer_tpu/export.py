@@ -52,6 +52,8 @@ def to_dict(result: AnalysisResult) -> dict:
         d["ibi_ci_95"] = [round(result.ibi_ci[0], 8), round(result.ibi_ci[1], 8)]
     if result.ibi_refined_ratio is not None:
         d["ibi_mean_ratio"] = round(result.ibi_refined_ratio, 8)
+    if result.ibi_regression_ratio is not None:
+        d["ibi_regression_ratio"] = round(result.ibi_regression_ratio, 8)
     return d
 
 

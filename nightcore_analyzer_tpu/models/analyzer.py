@@ -100,6 +100,7 @@ class PairAnalysis(NamedTuple):
     # estimator the reference does not have (its median path is mirrored in
     # ibi_ratio above for parity)
     ibi_refined_ratio: jnp.ndarray
+    ibi_regression_ratio: jnp.ndarray
 
 
 def _strip(y, n, cfg: AnalyzerConfig):
@@ -181,6 +182,25 @@ def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
     valid = (track.n_beats >= cfg.ibi_min_ibis + 1) & (n_ibis >= cfg.ibi_min_ibis)
     rs = lambda x: x.reshape(lead + x.shape[1:])
     return rs(ibis), rs(mask), rs(n_ibis), rs(valid)
+
+
+def _ibi_ls_slope(ibis: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked least-squares slope of cumulative beat time vs valid index.
+
+    ``ibis``: (..., K) glitch-filtered intervals, ``mask`` marks the valid
+    ones.  Fitting T_j = a + b·j over the points (j, Σ first-j valid IBIs)
+    gives b = the LS mean interval — it uses every beat timestamp, not just
+    the endpoints.  Returns the per-row slope (0 when < 2 valid points).
+    """
+    mf = mask.astype(jnp.float32)
+    j = jnp.cumsum(mf, axis=-1)                  # valid-IBI ordinal (1-based)
+    T = jnp.cumsum(ibis * mf, axis=-1)           # beat time since first beat
+    n = jnp.maximum(jnp.sum(mf, axis=-1, keepdims=True), 1.0)
+    jm = jnp.sum(j * mf, axis=-1, keepdims=True) / n
+    Tm = jnp.sum(T * mf, axis=-1, keepdims=True) / n
+    num = jnp.sum(mf * (j - jm) * (T - Tm), axis=-1)
+    den = jnp.sum(mf * (j - jm) ** 2, axis=-1)
+    return jnp.where(den > 1e-9, num / jnp.maximum(den, 1e-9), 0.0)
 
 
 def _pitch(ys, ns, cfg: AnalyzerConfig):
@@ -340,6 +360,14 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
                  (n_ibis[:, SRC] >= 4) & (n_ibis[:, NC] >= 4))
     ibi_refined = (stats.masked_mean(ibis[:, SRC], imask[:, SRC]) /
                    stats.masked_mean(ibis[:, NC], imask[:, NC]))
+    # Beat-time linear regression (beyond-reference, round-2): LS slope of
+    # cumulative beat time vs valid-IBI index.  The mean-IBI estimator is
+    # (t_last - t_first)/n — only the endpoint frames' ±hop/2 quantization
+    # enters; the LS slope averages the hop-grid noise of EVERY beat
+    # timestamp, the best linear-unbiased estimate under per-beat jitter.
+    ibi_regression = (_ibi_ls_slope(ibis[:, SRC], imask[:, SRC]) /
+                      jnp.maximum(_ibi_ls_slope(ibis[:, NC], imask[:, NC]),
+                                  1e-9))
 
     return PairAnalysis(
         nc_len=n_nc, src_len=n_src,
@@ -363,6 +391,7 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
         ibi_ratio=ibi_ratio, ibi_lo=i_lo, ibi_hi=i_hi, ibi_valid=ibi_valid,
         n_src_ibis=n_ibis[:, SRC], n_nc_ibis=n_ibis[:, NC],
         ibi_refined_ratio=ibi_refined,
+        ibi_regression_ratio=ibi_regression,
     )
 
 

@@ -136,8 +136,10 @@ def _print_speed_result(result, hq: Path, ncog: Path) -> None:
           f"[{result.tempo_ci[0]:.4f}, {result.tempo_ci[1]:.4f}]")
     if result.ibi_ratio is not None:
         print(f"  Beat-interval speed: {result.ibi_ratio:.6f}×   95% CI "
-              f"[{result.ibi_ci[0]:.6f}, {result.ibi_ci[1]:.6f}]"
-              "   <- finer estimator")
+              f"[{result.ibi_ci[0]:.6f}, {result.ibi_ci[1]:.6f}]")
+    if result.ibi_regression_ratio:
+        print(f"  Beat-regression    : {result.ibi_regression_ratio:.6f}×"
+              "   <- finest estimator (LS slope of beat times)")
     if result.n_source_pitch_windows > 0:
         print(f"  Pitch ratio        : {pr:.6f}")
     print(f"  Classified as      : {result.classification}")
@@ -185,9 +187,10 @@ def _print_speed_result(result, hq: Path, ncog: Path) -> None:
 
     hqnc = _hqnc_path(hq)
     print()
-    if result.ibi_ratio is not None:
-        print("  To render the HQ nightcore, prefer the beat-interval factor:")
-        print(f"    sox '{hq}' '{hqnc}' speed {result.ibi_ratio:.6f}")
+    best = result.ibi_regression_ratio or result.ibi_ratio
+    if best is not None:
+        print("  To render the HQ nightcore, prefer the finest factor:")
+        print(f"    sox '{hq}' '{hqnc}' speed {best:.6f}")
         print(f"  (windowed-BPM fallback: speed {tr:.6f})")
     else:
         print("  To render the HQ nightcore:")
@@ -533,9 +536,11 @@ def run_full_suite(hq: Path, ncog: Path, src_trim_sec: float = 0.0) -> None:
         ans = _prompt_choice("  Create HQNC (speed up HQ by the detected "
                              "factor)?", "yne", "y")
 
-    current_speed = (dur_override if dur_override is not None
-                     else (result1.ibi_ratio if result1.ibi_ratio is not None
-                           else tr))
+    current_speed = dur_override
+    if current_speed is None:
+        # finest first: beat-time regression > median IBI > windowed BPM
+        current_speed = (result1.ibi_regression_ratio
+                         or result1.ibi_ratio or tr)
     hqnc: Optional[Path] = None
     upd = 0
     if ans == "y":
@@ -557,12 +562,14 @@ def run_full_suite(hq: Path, ncog: Path, src_trim_sec: float = 0.0) -> None:
             if _print_verification_result(result2, hqnc, ncog):
                 break
 
-            residual = (result2.ibi_ratio if result2.ibi_ratio is not None
-                        else result2.tempo_ratio)
+            residual = (result2.ibi_regression_ratio
+                        or result2.ibi_ratio or result2.tempo_ratio)
             corrected = current_speed * residual
             upd += 1
             nxt = _hqnc_path(hq, upd)
-            estimator = "IBI" if result2.ibi_ratio is not None else "BPM"
+            estimator = ("IBI regression" if result2.ibi_regression_ratio
+                         else "IBI" if result2.ibi_ratio is not None
+                         else "BPM")
             print(f"\n  Speed is still off by {(residual - 1.0) * 100:+.2f}%.")
             print(f"  Corrected factor ({estimator}): {current_speed:.6f} × "
                   f"{residual:.6f} = {corrected:.6f}×")
@@ -634,7 +641,7 @@ def run_speed_comparison(hq: Path, ncog: Path, src_trim_sec: float = 0.0) -> Non
                                  "factor)?", "yne", "y")
         if ans == "y":
             hqnc = _hqnc_path(hq)
-            speed = result.ibi_ratio if result.ibi_ratio is not None else tr
+            speed = result.ibi_regression_ratio or result.ibi_ratio or tr
             create_speed_changed_file(hq, hqnc, speed)
 
     print()

@@ -158,3 +158,28 @@ def test_independent_pitch_shift_classification():
     speed_st = 12 * np.log2(FACTOR)
     assert total_st == pytest.approx(speed_st + 1.0, abs=0.34)
     assert res.classification == "independent_pitch_shift"
+
+
+def test_ibi_regression_estimator(analyzed):
+    """Beat-time LS-slope estimator: present, finer than the median path
+    (the median is bounded by hop-64 grid quantization; the regression
+    averages the grid noise of every beat timestamp)."""
+    res, _ = analyzed
+    assert res.ibi_regression_ratio is not None
+    reg_err = abs(res.ibi_regression_ratio / FACTOR - 1.0)
+    med_err = abs(res.ibi_ratio / FACTOR - 1.0)
+    assert reg_err < 5e-3
+    assert reg_err <= med_err + 1e-4
+
+
+def test_ibi_ls_slope_exact_on_clean_ibis():
+    """Masked LS slope recovers the exact interval from noisy-masked IBIs."""
+    import jax.numpy as jnp
+    from nightcore_analyzer_tpu.models.analyzer import _ibi_ls_slope
+    ibi = 0.42
+    vals = np.full((1, 20), ibi, np.float32)
+    mask = np.ones((1, 20), bool)
+    mask[0, 7] = False                       # a glitch-filtered hole
+    vals[0, 7] = 99.0                        # masked value must not matter
+    slope = float(_ibi_ls_slope(jnp.asarray(vals), jnp.asarray(mask))[0])
+    assert slope == pytest.approx(ibi, rel=1e-6)
