@@ -215,15 +215,21 @@ class CorpusAnalyzer:
                 bufs.src_trim[i] = int(src_trim_sec[i] * cfg.sample_rate)
 
         pa, stats = self.analyze_buffers(bufs)
+        return self.results_from_pa(pa, B), stats
 
+    def results_from_pa(self, pa, n: int) -> List:
+        """First ``n`` rows of a host-side PairAnalysis → AnalysisResult
+        (or error-string) list — the same per-pair error surface as the
+        reference pipeline."""
+        from ..analyze.consensus import result_from_pair_analysis
         results: List = []
-        for i in range(B):
+        for i in range(n):
             row = self._jax.tree_util.tree_map(lambda x: x[i], pa)
             try:
-                results.append(result_from_pair_analysis(row, cfg))
+                results.append(result_from_pair_analysis(row, self.cfg))
             except (RuntimeError, ValueError) as exc:
                 results.append(str(exc))
-        return results, stats
+        return results
 
     @classmethod
     def for_durations(cls, durations_sec: Sequence[float],

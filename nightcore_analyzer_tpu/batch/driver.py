@@ -51,10 +51,54 @@ def read_manifest(path: Path) -> List[Tuple[str, str, float]]:
     return rows
 
 
+def _decode_batch(entries, cfg, load_audio, log):
+    """Decode + pack one batch of manifest entries.
+
+    Returns (PairBuffers, metas) where ``metas`` is a list of
+    ``(idx, nc_path, src_path, error_or_None)`` aligned with buffer rows.
+    Decode failures zero their row and clear its mask bit so the device
+    program skips it (per-pair error records, SURVEY §5 failure handling).
+    """
+    from .corpus import PairBuffers, pack_pair
+    B = len(entries)
+    bufs = PairBuffers(
+        nc=np.zeros((B, cfg.max_samples), np.float32),
+        n_nc=np.zeros(B, np.int32),
+        src=np.zeros((B, cfg.max_samples), np.float32),
+        n_src=np.zeros(B, np.int32),
+        src_trim=np.zeros(B, np.int32),
+        mask=np.ones(B, bool))
+    metas = []
+    for i, (idx, nc_path, src_path, trim) in enumerate(entries):
+        try:
+            nc, sr = load_audio(nc_path)
+            src, _ = load_audio(src_path)
+        except Exception as exc:                       # noqa: BLE001
+            bufs.mask[i] = False
+            metas.append((idx, nc_path, src_path, f"decode failed: {exc}"))
+            log(f"  [{idx}] decode failed: {exc}")
+            continue
+        bnc, n_nc, bsrc, n_src = pack_pair(np.asarray(nc), np.asarray(src), cfg)
+        bufs.nc[i], bufs.n_nc[i] = bnc, n_nc
+        bufs.src[i], bufs.n_src[i] = bsrc, n_src
+        bufs.src_trim[i] = int(trim * cfg.sample_rate)
+        metas.append((idx, nc_path, src_path, None))
+    return bufs, metas
+
+
 def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                      compute_pitch: bool = True, resume: bool = False,
                      log=_log) -> Tuple[int, int]:
     """Returns (n_ok, n_failed).
+
+    Streaming design (round 2): the manifest is bucketed by *header-probed*
+    duration (no decode), then each batch is decoded just-in-time and the
+    NEXT batch's decode + host→device transfer overlaps the device's compute
+    on the current one — host RSS stays bounded at ~2 batches of audio
+    regardless of manifest size (the round-1 driver decoded everything up
+    front: tens of GB at the 1000-pair scale).  Records are appended to the
+    JSONL as each batch completes, so a killed run loses at most one batch
+    (``--resume`` picks up from the file).
 
     ``resume=True`` makes runs restartable (SURVEY §5 checkpoint/resume):
     pairs whose (nightcore, source) paths already have a non-error record in
@@ -62,6 +106,7 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
     """
     from ..signal.io import load_audio
     from .. import export
+    from .. import native
 
     rows = read_manifest(manifest)
     log(f"manifest: {len(rows)} pairs")
@@ -78,64 +123,80 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                 done[(files.get("nightcore"), files.get("source"))] = rec
         log(f"resume: {len(done)} pairs already complete in {output}")
 
-    # ── decode + bucket ──────────────────────────────────────────────────────
-    buckets: dict = defaultdict(list)    # bucket_sec -> [(idx, nc, src, trim)]
+    # ── bucket by header-probed duration (no decode) ─────────────────────────
+    buckets: dict = defaultdict(list)  # bucket_sec -> [(idx, nc, src, trim)]
     failed: dict = {}
     t0 = time.time()
     for idx, (nc_path, src_path, trim) in enumerate(rows):
         if (nc_path, src_path) in done:
             continue
         try:
-            nc, sr = load_audio(nc_path)
-            src, _ = load_audio(src_path)
-        except Exception as exc:
-            failed[idx] = f"decode failed: {exc}"
-            log(f"  [{idx}] decode failed: {exc}")
+            dur = max(native.probe_duration(nc_path),
+                      native.probe_duration(src_path))
+        except Exception as exc:                       # noqa: BLE001
+            failed[idx] = f"probe failed: {exc}"
+            log(f"  [{idx}] probe failed: {exc}")
             continue
-        b = bucket_for_duration(max(len(nc), len(src)) / sr)
-        buckets[b].append((idx, nc, src, trim))
-    log(f"decoded {sum(len(v) for v in buckets.values())}/{len(rows)} pairs "
+        buckets[bucket_for_duration(dur)].append((idx, nc_path, src_path, trim))
+    log(f"probed {sum(len(v) for v in buckets.values())}/{len(rows)} pairs "
         f"in {time.time() - t0:.1f}s; buckets: "
         f"{ {k: len(v) for k, v in sorted(buckets.items())} }")
 
-    results_by_idx: dict = {}
-    for bucket_sec in sorted(buckets):
-        entries = buckets[bucket_sec]
-        cfg = DEFAULT_CONFIG.replace(max_duration_sec=bucket_sec)
-        analyzer = CorpusAnalyzer(cfg, compute_pitch=compute_pitch)
-        for lo in range(0, len(entries), batch):
-            part = entries[lo:lo + batch]
-            t0 = time.time()
-            res, stats = analyzer.analyze_pairs(
-                [(e[1], e[2]) for e in part],
-                src_trim_sec=[e[3] for e in part])
-            log(f"  bucket {bucket_sec:.0f}s: {len(part)} pairs in "
-                f"{time.time() - t0:.1f}s "
-                f"(mean tempo {float(np.asarray(stats.mean_tempo_ratio)):.4f})")
-            for (idx, *_), r in zip(part, res):
-                results_by_idx[idx] = r
-
-    # ── emit JSONL in manifest order ─────────────────────────────────────────
     n_ok = n_fail = 0
     with open(output, "w", encoding="utf-8") as fh:
-        for idx, (nc_path, src_path, trim) in enumerate(rows):
-            prev = done.get((nc_path, src_path))
-            if prev is not None:
-                fh.write(json.dumps(prev) + "\n")
-                n_ok += 1
-                continue
-            rec = {"files": {"nightcore": nc_path, "source": src_path}}
-            r = results_by_idx.get(idx)
-            if idx in failed:
-                rec["error"] = failed[idx]
-                n_fail += 1
-            elif isinstance(r, str) or r is None:
-                rec["error"] = r or "not analyzed"
-                n_fail += 1
-            else:
-                rec.update(export.to_dict(r))
-                n_ok += 1
+        def emit(rec):
             fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+
+        # carried-over + probe-failure records first
+        for (nc_path, src_path), rec in done.items():
+            emit(rec)
+            n_ok += 1
+        for idx, err in failed.items():
+            nc_path, src_path, _ = rows[idx]
+            emit({"files": {"nightcore": nc_path, "source": src_path},
+                  "error": err})
+            n_fail += 1
+
+        # ── streamed batches: decode N+1 while the device runs N ────────────
+        for bucket_sec in sorted(buckets):
+            entries = buckets[bucket_sec]
+            cfg = DEFAULT_CONFIG.replace(max_duration_sec=bucket_sec)
+            analyzer = CorpusAnalyzer(cfg, compute_pitch=compute_pitch)
+            parts = [entries[lo:lo + batch]
+                     for lo in range(0, len(entries), batch)]
+
+            bufs, metas = _decode_batch(parts[0], cfg, load_audio, log)
+            dev_args = analyzer.put_buffers(analyzer.pad_batch(bufs))
+            for bi in range(len(parts)):
+                t0 = time.time()
+                out = analyzer.run_device(dev_args)    # async dispatch
+                cur_metas = metas
+                if bi + 1 < len(parts):                # overlap: decode next
+                    bufs, metas = _decode_batch(parts[bi + 1], cfg,
+                                                load_audio, log)
+                    dev_args = analyzer.put_buffers(analyzer.pad_batch(bufs))
+                pa, stats = analyzer._unpack(np.asarray(out[0]),
+                                             np.asarray(out[1]))
+                results = analyzer.results_from_pa(pa, len(cur_metas))
+                log(f"  bucket {bucket_sec:.0f}s: batch {bi + 1}/{len(parts)}"
+                    f" ({len(cur_metas)} pairs) in {time.time() - t0:.1f}s "
+                    f"(mean tempo "
+                    f"{float(np.asarray(stats.mean_tempo_ratio)):.4f})")
+                for (idx, nc_path, src_path, err), r in zip(cur_metas, results):
+                    rec = {"files": {"nightcore": nc_path,
+                                     "source": src_path}}
+                    if err is not None:
+                        rec["error"] = err
+                        n_fail += 1
+                    elif isinstance(r, str):
+                        rec["error"] = r
+                        n_fail += 1
+                    else:
+                        rec.update(export.to_dict(r))
+                        n_ok += 1
+                    emit(rec)
+
     log(f"wrote {output} ({n_ok} ok, {n_fail} failed)")
     return n_ok, n_fail
 

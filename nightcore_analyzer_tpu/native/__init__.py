@@ -19,13 +19,13 @@ import numpy as np
 
 __all__ = ["decode_audio", "decode_native", "decode_native_peak",
            "decode_oracle", "resample", "encode_wav", "encode_flac",
-           "encode_lossy", "has_lossy_codecs", "peak_dbfs", "lib",
+           "encode_lossy", "has_lossy_codecs", "probe_duration", "peak_dbfs", "lib",
            "NativeAudioError"]
 
 _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "src" / "nativeaudio.cpp"
 _SO = _DIR / "libnativeaudio.so"
-_ABI_VERSION = 11
+_ABI_VERSION = 12
 
 _lock = threading.Lock()
 _lib = None
@@ -99,6 +99,8 @@ def _bind(L: ctypes.CDLL) -> ctypes.CDLL:
                                   ctypes.c_long, ctypes.c_int, ctypes.c_char_p,
                                   ctypes.c_int]
     L.na_decode_oracle.argtypes = L.na_decode.argtypes
+    L.na_probe_duration.argtypes = [ctypes.c_char_p]
+    L.na_probe_duration.restype = ctypes.c_double
     L.na_encode_flac.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                                  ctypes.c_long, ctypes.c_int]
     L.na_peak_dbfs.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_long]
@@ -156,6 +158,16 @@ def decode_oracle(path: str) -> tuple[np.ndarray, int]:
                           ctypes.byref(sr)):
         raise NativeAudioError(f"{path}: {_err(L)}")
     return _take(L, ptr, n), sr.value
+
+
+def probe_duration(path: str) -> float:
+    """Duration in seconds from container headers only (no decode).
+    Raises on unreadable/unsupported files."""
+    L = lib()
+    d = float(L.na_probe_duration(path.encode()))
+    if d < 0:
+        raise NativeAudioError(f"{path}: {_err(L)}")
+    return d
 
 
 def has_lossy_codecs() -> bool:

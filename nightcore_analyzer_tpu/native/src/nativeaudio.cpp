@@ -983,7 +983,7 @@ thread_local std::string g_err;
 // ── C ABI ────────────────────────────────────────────────────────────────────
 extern "C" {
 
-int na_version() { return 11; }
+int na_version() { return 12; }
 
 const char* na_last_error() { return g_err.c_str(); }
 
@@ -1068,6 +1068,73 @@ int na_has_libav() {
 int na_encode_lossy(const char* path, const float* x, long n, int sr,
                     const char* codec, int bitrate) {
   return encode_libav(path, x, n, sr, codec, bitrate, &g_err);
+}
+
+// Header-only duration probe (seconds; < 0 on error).  Lets the corpus
+// driver bucket a manifest by duration WITHOUT decoding anything — the
+// round-1 driver decoded the whole manifest into RAM up front, which
+// cannot reach the 1000-pair target.  FLAC: STREAMINFO total_samples;
+// WAV: data-chunk length; anything else: libav container metadata.
+double na_probe_duration(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { g_err = "cannot open file"; return -1.0; }
+  uint8_t head[64];
+  size_t got = fread(head, 1, sizeof head, f);
+  if (got >= 42 && !memcmp(head, "fLaC", 4)) {
+    // STREAMINFO is the first metadata block per spec
+    const uint8_t* p = head + 8;
+    uint32_t sr = ((uint32_t)p[10] << 12) | ((uint32_t)p[11] << 4) | (p[12] >> 4);
+    uint64_t total = ((uint64_t)(p[13] & 0x0F) << 32) | ((uint64_t)p[14] << 24) |
+                     ((uint64_t)p[15] << 16) | ((uint64_t)p[16] << 8) | p[17];
+    fclose(f);
+    if (sr == 0) { g_err = "bad FLAC header"; return -1.0; }
+    if (total == 0) { g_err = "FLAC total_samples unknown"; return -1.0; }
+    return (double)total / sr;
+  }
+  if (got >= 44 && !memcmp(head, "RIFF", 4) && !memcmp(head + 8, "WAVE", 4)) {
+    // walk chunks for fmt + data sizes
+    uint32_t sr = 0; int channels = 0, bits = 0; uint64_t data_len = 0;
+    long pos = 12;
+    uint8_t ch[8];
+    fseek(f, pos, SEEK_SET);
+    while (fread(ch, 1, 8, f) == 8) {
+      uint32_t len = rd32(ch + 4);
+      if (!memcmp(ch, "fmt ", 4)) {
+        uint8_t fmt[16];
+        if (fread(fmt, 1, 16, f) != 16) break;
+        channels = rd16(fmt + 2);
+        sr = rd32(fmt + 4);
+        bits = rd16(fmt + 14);
+        fseek(f, (long)len - 16 + (len & 1), SEEK_CUR);
+      } else if (!memcmp(ch, "data", 4)) {
+        data_len = len;
+        fseek(f, (long)len + (len & 1), SEEK_CUR);
+      } else {
+        fseek(f, (long)len + (len & 1), SEEK_CUR);
+      }
+    }
+    fclose(f);
+    int bytes = bits / 8;
+    if (!sr || !channels || !bytes) { g_err = "bad WAV header"; return -1.0; }
+    return (double)(data_len / ((uint64_t)bytes * channels)) / sr;
+  }
+  fclose(f);
+#ifdef NA_HAVE_LIBAV
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext* fc = nullptr;
+  if (avformat_open_input(&fc, path, nullptr, nullptr) < 0) {
+    g_err = "unsupported container"; return -1.0;
+  }
+  double dur = -1.0;
+  if (avformat_find_stream_info(fc, nullptr) >= 0 && fc->duration > 0)
+    dur = (double)fc->duration / AV_TIME_BASE;
+  avformat_close_input(&fc);
+  if (dur < 0) g_err = "container reports no duration";
+  return dur;
+#else
+  g_err = "unsupported container (built without libav*)";
+  return -1.0;
+#endif
 }
 
 // Conformance oracle: decode via libav* regardless of container, bypassing

@@ -50,12 +50,16 @@ def test_analyze_manifest_end_to_end(tmp_path, monkeypatch):
                                            log=lambda m: None)
     assert (n_ok, n_fail) == (2, 1)
 
-    recs = [json.loads(line) for line in out.read_text().splitlines()]
+    # streaming driver appends records as batches complete (failures first);
+    # key by file path instead of manifest order
+    recs = {json.loads(line)["files"]["nightcore"]: json.loads(line)
+            for line in out.read_text().splitlines()}
     assert len(recs) == 3
-    for rec, (_, _, f) in zip(recs[:2], pairs):
+    for nc_p, _src, f in pairs:
+        rec = recs[str(nc_p)]
         assert rec["tempo_ratio"] == pytest.approx(f, rel=0.04)
         assert "rubberband" in rec
-    assert "error" in recs[2]
+    assert "error" in recs[f"{tmp_path}/missing.flac"]
 
 
 def test_resume_skips_completed(tmp_path, monkeypatch):

@@ -204,3 +204,19 @@ def test_detect_peak_sees_per_channel_clipping(tmp_path):
     y, _, pk = native.decode_native_peak(str(p))
     assert np.abs(y).max() < 0.51          # mixdown hides the clip
     assert pk > 0.99                       # per-channel peak sees it
+
+
+def test_probe_duration_headers_only(tmp_path, tone):
+    """Duration probe reads container headers, no decode: FLAC, WAV, MP3."""
+    for name, enc in [
+        ("t.flac", lambda p: native.encode_flac(p, tone, SR)),
+        ("t.wav", lambda p: native.encode_wav(p, tone, SR)),
+        ("t.mp3", lambda p: native.encode_lossy(p, tone, SR, "libmp3lame",
+                                                128_000)),
+    ]:
+        p = tmp_path / name
+        enc(str(p))
+        d = native.probe_duration(str(p))
+        assert d == pytest.approx(3.0, abs=0.1), name
+    with pytest.raises(native.NativeAudioError):
+        native.probe_duration(str(tmp_path / "nope.flac"))
