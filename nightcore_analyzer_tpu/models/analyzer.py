@@ -163,10 +163,25 @@ def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
     # sets the ACF's triangular taper, so shrinking it would bias slow-BPM
     # lags vs the reference (round-1 advisor finding). Lag truncation alone
     # is decision-exact (lags > max_lag are unwinnable under the prior).
-    acf = jax.vmap(lambda e, f: tempogram.tempogram_mean_acf(
-        e, f, win_length=cfg.ibi_tempogram_win_length,
-        max_lag=cfg.ibi_tempo_max_lag,
-        stride=cfg.ibi_tempo_stride, chunk=cfg.tg_frame_chunk))(env, n_frames)
+    # On TPU at the default geometry this runs as the fused Pallas kernel
+    # (ops/pallas/acf.py, f32/HIGHEST: 81 ms → 31 ms per 16-pair batch).
+    from ..ops.fft_mxu import _use_mxu
+    from ..ops.pallas import acf as pacf
+    if _use_mxu() and pacf.supported(cfg.ibi_tempogram_win_length,
+                                     cfg.ibi_tempo_stride,
+                                     cfg.ibi_tempo_max_lag):
+        n_used = jnp.maximum(
+            (jnp.minimum(n_frames, env.shape[-1])
+             + cfg.ibi_tempo_stride - 1) // cfg.ibi_tempo_stride, 1)
+        acf = pacf.mean_acf_batch(env, n_used,
+                                  win_length=cfg.ibi_tempogram_win_length,
+                                  n_frames=env.shape[-1])
+    else:
+        acf = jax.vmap(lambda e, f: tempogram.tempogram_mean_acf(
+            e, f, win_length=cfg.ibi_tempogram_win_length,
+            max_lag=cfg.ibi_tempo_max_lag,
+            stride=cfg.ibi_tempo_stride,
+            chunk=cfg.tg_frame_chunk))(env, n_frames)
     bpm = jax.vmap(lambda a, b: tempogram.tempo_from_acf(
         a, b, hop_length=cfg.ibi_hop, sr=cfg.sample_rate,
         std_bpm=cfg.std_bpm, max_tempo=cfg.max_tempo))(acf, bpm0_f)

@@ -185,3 +185,32 @@ def test_melfft_fused_matches_scan_path(rng):
     assert fused.shape == ref.shape
     rel = np.abs(fused - ref).max() / np.abs(ref).max()
     assert rel < 0.01
+
+
+def test_pallas_acf_matches_jnp_path(rng):
+    """Fused strided mean-ACF kernel (interpret mode) vs the jnp tempogram
+    path — f32-exact across valid-length variation."""
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    from nightcore_analyzer_tpu.ops.pallas import acf as ACF
+    from nightcore_analyzer_tpu.ops import tempogram
+
+    frames, win, stride, maxlag = 3000, 2756, 16, 1024
+    env = np.abs(rng.standard_normal((2, frames))).astype(np.float32)
+    nv = np.array([2900, 1500], np.int32)
+    n_used = np.ceil(np.minimum(nv, frames) / stride).astype(np.int32)
+
+    real_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return real_call(*a, **k)
+
+    with mock.patch.object(ACF.pl, "pallas_call", interp_call):
+        got = np.asarray(ACF.mean_acf_batch(
+            jnp.asarray(env), jnp.asarray(n_used),
+            win_length=win, n_frames=frames))
+    ref = np.stack([np.asarray(tempogram.tempogram_mean_acf(
+        jnp.asarray(env[i]), jnp.asarray(nv[i]), win_length=win,
+        stride=stride, max_lag=maxlag)) for i in range(2)])
+    assert np.abs(got - ref).max() < 1e-5
