@@ -104,8 +104,7 @@ class PairAnalysis(NamedTuple):
 
 
 def _strip(y, n, cfg: AnalyzerConfig):
-    cs = energy.energy_cumsum(y)
-    start, end = energy.trim_bounds(cs, n, cfg.silence_strip_db)
+    start, end = energy.trim_bounds_y(y, n, cfg.silence_strip_db)
     y2 = energy.roll_to_start(y, start)
     return y2, end - start, start, n - end
 
@@ -113,8 +112,7 @@ def _strip(y, n, cfg: AnalyzerConfig):
 def _gates(ys, ns, cfg: AnalyzerConfig):
     """(2, slots) energy-gate masks."""
     def one(y, n):
-        cs = energy.energy_cumsum(y)
-        edb, slot_valid = energy.window_energies_db(cs, n, cfg)
+        edb, slot_valid = energy.window_energies_db_y(y, n, cfg)
         return energy.energy_gate_mask(edb, slot_valid, cfg.energy_gate_db)
     return jax.vmap(one)(ys, ns)
 

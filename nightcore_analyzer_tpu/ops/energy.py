@@ -21,14 +21,33 @@ import jax.numpy as jnp
 from ..config import AnalyzerConfig
 from .stats import masked_max
 
-__all__ = ["energy_cumsum", "frame_rms_power", "trim_bounds",
-           "window_energies_db", "energy_gate_mask", "roll_to_start"]
+__all__ = ["energy_cumsum", "energy_cumsum_grid", "frame_rms_power",
+           "trim_bounds", "trim_bounds_y", "window_energies_db",
+           "window_energies_db_y", "energy_gate_mask", "roll_to_start"]
 
 
 def energy_cumsum(y: jnp.ndarray) -> jnp.ndarray:
     """cumsum of y² with a leading 0 — shape (N+1,)."""
     return jnp.concatenate([jnp.zeros(y.shape[:-1] + (1,)),
                             jnp.cumsum(y * y, axis=-1)], axis=-1)
+
+
+def energy_cumsum_grid(y: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Energy prefix sums at ``block``-sample granularity — (N//block + 1,).
+
+    ``out[k] == energy_cumsum(y)[k·block]`` exactly, but computed as one
+    block-reduce plus a tiny cumsum instead of a full-length scan: both the
+    trim frame grid and the window-slot grid only ever query the prefix sum
+    at fixed multiples (the buffers are zero beyond ``n``, so saturation at
+    ``n`` happens naturally), and the full-resolution scan was ~a third of
+    the silence-strip stage's 32 ms."""
+    N = y.shape[-1]
+    pad = (-N) % block
+    if pad:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+    blocks = (y * y).reshape(y.shape[:-1] + (-1, block)).sum(axis=-1)
+    return jnp.concatenate([jnp.zeros(y.shape[:-1] + (1,)),
+                            jnp.cumsum(blocks, axis=-1)], axis=-1)
 
 
 def frame_rms_power(cs: jnp.ndarray, n: jnp.ndarray, *, frame_length: int = 2048,
@@ -91,3 +110,57 @@ def energy_gate_mask(energies_db: jnp.ndarray, valid: jnp.ndarray,
                      threshold_db: float) -> jnp.ndarray:
     peak = masked_max(energies_db, valid)
     return valid & (energies_db >= peak + threshold_db)
+
+
+def trim_bounds_y(y: jnp.ndarray, n: jnp.ndarray, top_db: float,
+                  *, frame_length: int = 2048, hop: int = 512):
+    """:func:`trim_bounds` taking the signal directly; grid prefix sums.
+
+    Exact (not approximate): frame edges ``t·hop ± frame_length/2`` are
+    multiples of ``hop`` whenever ``hop | frame_length/2`` (librosa's
+    2048/512 default), and the zero tail beyond ``n`` makes the index
+    clipping equivalent to prefix-sum saturation.
+    """
+    if (frame_length // 2) % hop:
+        cs = energy_cumsum(y)
+        return trim_bounds(cs, n, top_db, frame_length=frame_length, hop=hop)
+    N = y.shape[-1]
+    csg = energy_cumsum_grid(y, hop)
+    Ng = csg.shape[-1] - 1
+    n_frames = 1 + N // hop
+    t = jnp.arange(n_frames)
+    k = frame_length // (2 * hop)
+    lo = jnp.clip(t - k, 0, Ng)
+    hi = jnp.clip(t + k, 0, Ng)
+    power = (jnp.take(csg, hi) - jnp.take(csg, lo)) / frame_length
+    fvalid = t <= n // hop
+    power = jnp.where(fvalid, power, 0.0)
+    ref = masked_max(power, fvalid, fill=0.0)
+    db = 10.0 * jnp.log10(jnp.maximum(power, 1e-10) / jnp.maximum(ref, 1e-10))
+    nonsilent = (db > -top_db) & fvalid
+    first = jnp.min(jnp.where(nonsilent, t, n_frames))
+    last = jnp.max(jnp.where(nonsilent, t, -1))
+    any_ns = last >= 0
+    start = jnp.where(any_ns, first * hop, 0)
+    end = jnp.where(any_ns, jnp.minimum((last + 1) * hop, n), n)
+    return start.astype(jnp.int32), end.astype(jnp.int32)
+
+
+def window_energies_db_y(y: jnp.ndarray, n: jnp.ndarray, cfg: AnalyzerConfig):
+    """:func:`window_energies_db` taking the signal directly; grid sums at
+    gcd(hop, win) granularity — exact for the same saturation reason."""
+    import math
+    g = math.gcd(cfg.hop_samples, cfg.win_samples)
+    if g < 64:
+        return window_energies_db(energy_cumsum(y), n, cfg)
+    csg = energy_cumsum_grid(y, g)
+    Ng = csg.shape[-1] - 1
+    s = jnp.arange(cfg.n_window_slots)
+    start = s * (cfg.hop_samples // g)
+    stop = start + cfg.win_samples // g
+    valid = stop * g <= n
+    energy = (jnp.take(csg, jnp.minimum(stop, Ng)) -
+              jnp.take(csg, jnp.minimum(start, Ng)))
+    rms = jnp.sqrt(jnp.maximum(energy, 0.0) / cfg.win_samples)
+    db = 20.0 * jnp.log10(jnp.maximum(rms, 1e-10))
+    return jnp.where(valid, db, -jnp.inf), valid
