@@ -283,6 +283,16 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         result.ibi_refined_ratio = float(g(pa.ibi_refined_ratio))
         reg = float(g(pa.ibi_regression_ratio))
         result.ibi_regression_ratio = reg if reg > 0 else None
+        if cfg.classify_on_ibi and compute_pitch and n_pitch > 0:
+            # v2 (opt-in): the windowed ratio is lag-grid quantized, which
+            # misclassifies constant-tempo material whose grid snap lands
+            # away from the true factor; the beat-time estimators do not
+            # carry that quantization
+            best = result.ibi_regression_ratio or result.ibi_ratio
+            half_span = max(result.ibi_ci[1] - result.ibi_ci[0], 1e-6) / 2
+            result.classification = classify(
+                best, pitch_ratio, (best - half_span, best + half_span),
+                pitch_ci, cfg.pure_nc_tolerance)
 
     off = float(g(pa.intro_offset)) / sr
     result.intro_offset_sec = off if off > 0 else None

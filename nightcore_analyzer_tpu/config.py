@@ -59,6 +59,12 @@ class AnalyzerConfig:
     # Parabolic sub-grid interpolation of the ACF tempo peak — beyond the
     # reference's integer-lag quantization; OFF by default for parity.
     tempo_subgrid: bool = False
+    # Classification v2 (beyond-reference, OFF for parity): when the IBI
+    # pass is valid, classify against the beat-time estimators instead of
+    # the grid-quantized windowed ratio — removes the time_stretch_only /
+    # independent_pitch_shift misfires on constant-tempo material, where
+    # every window snaps to the same (slightly wrong) grid BPM.
+    classify_on_ibi: bool = False
     # Frame stride when aggregating the local-ACF tempogram.  1 == librosa
     # semantics (mean over every onset frame).  The global hop-64 pass uses
     # ibi_tempo_stride to bound compute; the aggregate is a mean so striding

@@ -29,6 +29,55 @@ def histogram_panels(result) -> List[Tuple[str, np.ndarray, Optional[float]]]:
     return panels
 
 
+def histogram_bins(vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(counts, edges) with the same bin-count rule both widget backends
+    use — headlessly testable."""
+    n_bins = min(30, max(5, len(vals) // 2))
+    return np.histogram(vals, bins=n_bins)
+
+
+def _make_pyqtgraph_widget():
+    """pyqtgraph-backed 2×2 histogram grid (the reference lists pyqtgraph
+    as its fast-plotting option, requirements.txt:44); None if the package
+    is absent."""
+    try:
+        import pyqtgraph as pg
+        from PyQt6.QtWidgets import QWidget, QVBoxLayout
+    except Exception:
+        return None
+
+    class PgHistogramWidget(QWidget):
+        """2×2 per-window estimate histograms (pyqtgraph backend)."""
+
+        def __init__(self, parent=None):
+            super().__init__(parent)
+            self._glw = pg.GraphicsLayoutWidget()
+            lay = QVBoxLayout(self)
+            lay.addWidget(self._glw)
+
+        def update_result(self, result) -> None:
+            self._glw.clear()
+            for i, (title, vals, med) in enumerate(histogram_panels(result)):
+                plot = self._glw.addPlot(row=i // 2, col=i % 2, title=title)
+                if len(vals):
+                    counts, edges = histogram_bins(vals)
+                    width = (edges[1] - edges[0]) * 0.9 if len(edges) > 1 else 1.0
+                    plot.addItem(pg.BarGraphItem(
+                        x=(edges[:-1] + edges[1:]) / 2.0, height=counts,
+                        width=width, brush="#4d7dd6"))
+                    if med is not None:
+                        plot.addItem(pg.InfiniteLine(
+                            pos=med, angle=90,
+                            pen=pg.mkPen("#d64d4d", style=2, width=1.5),
+                            label=f"median {med:.2f}",
+                            labelOpts={"position": 0.9}))
+                else:
+                    t = pg.TextItem("no data", color="gray")
+                    plot.addItem(t)
+
+    return PgHistogramWidget
+
+
 try:
     from PyQt6.QtWidgets import QWidget, QVBoxLayout
     from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
@@ -62,5 +111,11 @@ try:
             self._fig.tight_layout()
             self._canvas.draw_idle()
 
+    # pyqtgraph is preferred when installed (faster redraws, stays
+    # interactive during long runs); matplotlib remains the fallback
+    _pg_widget = _make_pyqtgraph_widget()
+    if _pg_widget is not None:
+        HistogramWidget = _pg_widget  # type: ignore[misc]
+
 except Exception:  # PyQt6 / Qt backend unavailable — headless environment
-    HistogramWidget = None  # type: ignore[assignment,misc]
+    HistogramWidget = _make_pyqtgraph_widget()  # type: ignore[assignment]

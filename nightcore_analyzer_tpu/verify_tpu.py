@@ -154,6 +154,11 @@ def main() -> int:
         return f"PyQt6 + matplotlib {matplotlib.__version__}"
     _check("GUI stack (optional)", gui, required=False)
 
+    def pyqtgraph_probe():
+        import pyqtgraph
+        return f"pyqtgraph {pyqtgraph.__version__} (fast histogram backend)"
+    _check("pyqtgraph (optional)", pyqtgraph_probe, required=False)
+
     print("=" * 57)
     req = [r for r in _results if r[2]]
     passed = sum(1 for r in req if r[1])

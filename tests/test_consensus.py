@@ -107,3 +107,50 @@ def test_compute_ibi_ratio():
                                   rel=1e-6)
     assert lo < ratio < hi
     assert hi - lo < 0.01
+
+
+def test_classification_v2_fixes_grid_misfire():
+    """Opt-in classify_on_ibi: a pure nightcore whose windowed BPM snapped
+    to a grid point away from the true factor misclassifies as
+    independent_pitch_shift under v1; the beat-time estimator fixes it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+    from nightcore_analyzer_tpu.models.analyzer import PairAnalysis
+
+    true_factor = 1.23
+    grid_factor = 1.30                  # windowed ratio snapped wrong
+    pitch_ratio = true_factor           # pitch co-shifted (pure nightcore)
+    slots, chunks, K = 8, 6, 64
+    j = lambda v, dt=np.float32: jnp.asarray(np.asarray(v, dt))  # noqa: E731
+    pa = PairAnalysis(
+        nc_len=j(22050 * 80, np.int32), src_len=j(int(22050 * 80 * true_factor), np.int32),
+        nc_lead=j(0, np.int32), nc_trail=j(0, np.int32),
+        src_lead=j(0, np.int32), src_trail=j(0, np.int32),
+        intro_offset=j(0, np.int32), align_speed=j(1.0),
+        src_tempos=j(np.full(slots, 100.0)), src_tempo_mask=j(np.ones(slots, bool), bool),
+        nc_tempos=j(np.full(slots, 100.0 * grid_factor)),
+        nc_tempo_mask=j(np.ones(slots, bool), bool),
+        n_src_windows=j(slots, np.int32), n_nc_windows=j(slots, np.int32),
+        src_gate=j(np.ones(slots, bool), bool), nc_gate=j(np.ones(slots, bool), bool),
+        all_gated=j(False, bool),
+        src_median_bpm=j(100.0), nc_median_bpm=j(100.0 * grid_factor),
+        nc_start_bpm=j(123.0),
+        tempo_ratio=j(grid_factor), tempo_lo=j(grid_factor), tempo_hi=j(grid_factor),
+        tempo_insufficient=j(False, bool),
+        pitch_shifts_st=j(np.full(chunks, 12 * np.log2(pitch_ratio))),
+        pitch_chunk_mask=j(np.ones(chunks, bool), bool), n_chunks=j(chunks, np.int32),
+        pitch_point_st=j(12 * np.log2(pitch_ratio)),
+        pitch_st_lo=j(12 * np.log2(pitch_ratio)), pitch_st_hi=j(12 * np.log2(pitch_ratio)),
+        pitch_ratio=j(pitch_ratio), pitch_lo=j(pitch_ratio), pitch_hi=j(pitch_ratio),
+        ibi_ratio=j(true_factor), ibi_lo=j(true_factor - 0.001),
+        ibi_hi=j(true_factor + 0.001), ibi_valid=j(True, bool),
+        n_src_ibis=j(200, np.int32), n_nc_ibis=j(200, np.int32),
+        ibi_refined_ratio=j(true_factor), ibi_regression_ratio=j(true_factor))
+
+    v1 = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    assert v1.classification == "time_stretch_only"         # the grid misfire
+    v2 = result_from_pair_analysis(
+        pa, AnalyzerConfig(max_duration_sec=120.0, classify_on_ibi=True))
+    assert v2.classification == "pure_nightcore"
