@@ -72,6 +72,12 @@ def accuracy_report(pa, factors) -> dict:
     st = np.asarray(pa.pitch_point_st, np.float64)
     expected_st = np.round(12.0 * np.log2(f) * 3.0) / 3.0
     pitch_exact = int(np.sum(np.abs(st - expected_st) < 1e-6))
+    # sub-semitone refinement (log-spectrum xcorr): error in cents vs the
+    # exact resample-implied shift 12·log2(factor)
+    ref_ok = np.asarray(pa.pitch_refined_ok, bool)
+    ref_err_c = np.abs(np.asarray(pa.pitch_refined_st, np.float64)
+                       - 12.0 * np.log2(f)) * 100.0
+    n_ref = int(np.sum(ref_ok))
     acc = {
         "ibi_median_err_pct": round(float(np.median(ibi)), 5),
         "ibi_max_err_pct": round(float(np.max(ibi)), 5),
@@ -79,12 +85,19 @@ def accuracy_report(pa, factors) -> dict:
         "ibi_reg_median_err_pct": round(float(np.median(reg)), 5),
         "ibi_reg_max_err_pct": round(float(np.max(reg)), 5),
         "pitch_grid_exact": f"{pitch_exact}/{len(f)}",
+        "pitch_refined_ok": f"{n_ref}/{len(f)}",
+        "pitch_refined_median_err_cents":
+            round(float(np.median(ref_err_c[ref_ok])), 4) if n_ref else None,
+        "pitch_refined_max_err_cents":
+            round(float(np.max(ref_err_c[ref_ok])), 4) if n_ref else None,
     }
     acc["ok"] = bool(
         acc["ibi_max_err_pct"] <= 0.6
         and acc["ibi_mean_median_err_pct"] <= 0.01
         and acc["ibi_reg_median_err_pct"] <= 0.01
-        and pitch_exact == len(f))
+        and pitch_exact == len(f)
+        and n_ref == len(f)
+        and acc["pitch_refined_max_err_cents"] <= 3.0)
     return acc
 
 

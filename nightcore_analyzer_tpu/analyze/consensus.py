@@ -277,6 +277,12 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         pitch_method=pitch_method if compute_pitch else None,
     )
 
+    if compute_pitch and bool(g(pa.pitch_refined_ok)):
+        result.pitch_refined_st = float(g(pa.pitch_refined_st))
+        result.pitch_refined_ci = (float(g(pa.pitch_refined_lo)),
+                                   float(g(pa.pitch_refined_hi)))
+        result.pitch_refined_quality = float(g(pa.pitch_refined_quality))
+
     if bool(g(pa.ibi_valid)):
         result.ibi_ratio = float(g(pa.ibi_ratio))
         result.ibi_ci = (float(g(pa.ibi_lo)), float(g(pa.ibi_hi)))

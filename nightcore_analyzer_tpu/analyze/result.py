@@ -43,6 +43,12 @@ class AnalysisResult:
     src_median_bpm: Optional[float] = None
     warnings: List[str] = field(default_factory=list)
     pitch_method: Optional[str] = None      # "chroma_xcorr" (| "chroma+melodia")
+    # sub-semitone pitch refinement (first-party MELODIA replacement):
+    # fine log-spectrum xcorr shift in semitones, accepted only within
+    # ±1.5 st of the chroma estimate (None when the gate rejects it)
+    pitch_refined_st: Optional[float] = None
+    pitch_refined_ci: Optional[Tuple[float, float]] = None
+    pitch_refined_quality: Optional[float] = None
     ibi_ratio: Optional[float] = None
     ibi_ci: Optional[Tuple[float, float]] = None
     ibi_refined_ratio: Optional[float] = None   # mean-IBI (sub-grid) estimate
@@ -81,6 +87,14 @@ class AnalysisResult:
                 f" {self.n_nc_pitch_windows} nc samples)")
             if self.pitch_method:
                 lines.append(f"Pitch method    : {self.pitch_method}")
+            if self.pitch_refined_st is not None:
+                ci = ""
+                if self.pitch_refined_ci is not None:
+                    ci = (f"  95% CI [{self.pitch_refined_ci[0]:+.4f},"
+                          f" {self.pitch_refined_ci[1]:+.4f}]")
+                lines.append(
+                    f"Pitch refined   : {self.pitch_refined_st:+.4f} st{ci}"
+                    "  (log-spectrum xcorr — finest estimate)")
         else:
             lines.append("Pitch ratio     : not computed in this step")
 

@@ -100,6 +100,27 @@ class AnalyzerConfig:
     chroma_n_fft: int = 4096                # per-stream FFT size (dual stream)
     chroma_low_octaves: int = 3             # octaves served by the 4x-decimated stream
 
+    # ── first-party F0 refinement (sub-semitone; replaces optional MELODIA) ──
+    # The reference refines chroma pitch with essentia MELODIA when installed
+    # (pitch.py:187-241); this build's equivalent is an on-device
+    # harmonic-summation tracker plus a fine log-frequency spectral-shift
+    # estimator (ops/f0.py) — both run on the same dual-stream constant-Q
+    # front-end at 10-cent resolution.
+    compute_pitch_refine: bool = True
+    f0_bins_per_octave: int = 120           # 10-cent log-frequency grid
+    f0_fmin: float = 82.40688922821748      # E2 — melody F0 range bottom
+    f0_max_hz: float = 1174.6590716696303   # D6 — F0 argmax range top
+    f0_spec_max_hz: float = 9000.0          # spectrum grid top (harmonics)
+    f0_n_fft: int = 4096                    # per-stream frame (dual stream)
+    f0_hop: int = 2048
+    f0_harmonics: int = 8
+    f0_harmonic_decay: float = 0.8          # w_h = decay**(h-1)
+    f0_voicing_frac: float = 0.1            # voiced: salience ≥ frac·max
+    f0_frame_chunk: int = 128               # frames per scan step
+    pitch_refine_max_st: float = 15.0       # spectral-xcorr lag search ±st
+    pitch_refine_agree_st: float = 1.5      # MELODIA-style agreement gate
+    pitch_refine_min_quality: float = 0.2   # min peak cosine similarity
+
     # ── consensus (reference consensus.py:52-62) ─────────────────────────────
     n_bootstrap: int = 2000
     ci_level: float = 0.95
@@ -187,6 +208,34 @@ class AnalyzerConfig:
     @cached_property
     def n_chroma_bins(self) -> int:
         return self.chroma_bins_per_octave * self.chroma_n_octaves
+
+    # ── F0 refinement derived sizes ──────────────────────────────────────────
+    @cached_property
+    def f0_q(self) -> float:
+        return 1.0 / (2.0 ** (1.0 / self.f0_bins_per_octave) - 1.0)
+
+    @cached_property
+    def f0_n_spec_bins(self) -> int:
+        return int(math.ceil(
+            math.log2(self.f0_spec_max_hz / self.f0_fmin) * self.f0_bins_per_octave))
+
+    @cached_property
+    def f0_n_low_bins(self) -> int:
+        """Bins served by the 4×-decimated stream: the crossover is the lowest
+        frequency whose full-Q kernel fits the native-rate frame."""
+        f_x = self.f0_q * self.sample_rate / self.f0_n_fft
+        n = int(math.ceil(
+            math.log2(f_x / self.f0_fmin) * self.f0_bins_per_octave))
+        return min(max(n, 1), self.f0_n_spec_bins)
+
+    @cached_property
+    def f0_n_f0_bins(self) -> int:
+        return int(math.ceil(
+            math.log2(self.f0_max_hz / self.f0_fmin) * self.f0_bins_per_octave))
+
+    @cached_property
+    def f0_frames(self) -> int:
+        return max(1, self.max_samples // self.f0_hop)
 
     @cached_property
     def dp_search_window(self) -> int:

@@ -54,6 +54,11 @@ def to_dict(result: AnalysisResult) -> dict:
         d["ibi_mean_ratio"] = round(result.ibi_refined_ratio, 8)
     if result.ibi_regression_ratio is not None:
         d["ibi_regression_ratio"] = round(result.ibi_regression_ratio, 8)
+    if result.pitch_refined_st is not None:
+        d["pitch_refined_st"] = round(result.pitch_refined_st, 6)
+        if result.pitch_refined_ci is not None:
+            d["pitch_refined_ci_95"] = [round(result.pitch_refined_ci[0], 6),
+                                        round(result.pitch_refined_ci[1], 6)]
     return d
 
 

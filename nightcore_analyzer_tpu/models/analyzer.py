@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AnalyzerConfig
-from ..ops import onset, tempogram, beat, chroma, energy, resample, stats, align
+from ..ops import onset, tempogram, beat, chroma, energy, resample, stats, \
+    align, f0
 from ..ops.stats import masked_median
 
 __all__ = ["PairAnalysis", "analyze_pair", "analyze_batch", "build_analyze_fn"]
@@ -86,6 +87,16 @@ class PairAnalysis(NamedTuple):
     pitch_ratio: jnp.ndarray        # hz-median bootstrap (consensus path)
     pitch_lo: jnp.ndarray
     pitch_hi: jnp.ndarray
+    # sub-semitone refinement (ops/f0.py — the first-party MELODIA
+    # replacement): per-chunk fine log-spectrum xcorr shifts, the whole-file
+    # shift, its bootstrap CI, the peak cosine quality, and the MELODIA-style
+    # ±1.5 st agreement gate vs the chroma estimate
+    pitch_refined_chunk_st: jnp.ndarray   # (max_chunks,)
+    pitch_refined_st: jnp.ndarray
+    pitch_refined_lo: jnp.ndarray
+    pitch_refined_hi: jnp.ndarray
+    pitch_refined_quality: jnp.ndarray
+    pitch_refined_ok: jnp.ndarray
 
     # ── high-precision IBI pass ──────────────────────────────────────────────
     ibi_ratio: jnp.ndarray
@@ -247,7 +258,39 @@ def _pitch(ys, ns, cfg: AnalyzerConfig):
     ratio, lo, hi = stats.bootstrap_ratio_ci(
         jax.random.PRNGKey(42), nc_hz, cmask, src_hz, cmask,
         n_boot=cfg.n_bootstrap, ci=cfg.ci_level)
-    return shifts, cmask, n_eff, point, st_lo, st_hi, ratio, lo, hi
+
+    # ── sub-semitone refinement (ops/f0.py — first-party MELODIA leg) ────────
+    if cfg.compute_pitch_refine:
+        spec_ch, cnts, _, _, _ = jax.vmap(
+            lambda yy, y4_, nn: f0.f0_features(yy, y4_, nn, cfg))(ys, y4, ns)
+        r_shifts, _r_qs = jax.vmap(
+            lambda s, n_: f0.spectral_shift_st(s, n_, cfg)
+        )(spec_ch[SRC], spec_ch[NC])                   # (max_chunks,)
+        rmask = cmask & (cnts[SRC] > 0) & (cnts[NC] > 0)
+        # whole-file spectra (sums over every valid frame) give the finest
+        # single estimate; the per-chunk shifts supply an honest bootstrap CI
+        g_st, g_q = f0.spectral_shift_st(jnp.sum(spec_ch[SRC], axis=0),
+                                         jnp.sum(spec_ch[NC], axis=0), cfg)
+        rboots = jnp.sort(stats.bootstrap_medians(
+            jax.random.PRNGKey(7), r_shifts, rmask, cfg.n_bootstrap))
+        r_lo = stats.percentile(rboots, alpha * 100.0)
+        r_hi = stats.percentile(rboots, (1.0 - alpha) * 100.0)
+        enough_r = jnp.sum(rmask) >= cfg.min_chunks
+        ok = ((g_q >= cfg.pitch_refine_min_quality)
+              & (jnp.abs(g_st - point) <= cfg.pitch_refine_agree_st)
+              & (jnp.sum(cnts[SRC]) > 0) & (jnp.sum(cnts[NC]) > 0))
+        refined = jnp.where(ok, g_st, point)
+        r_lo = jnp.where(ok & enough_r, r_lo, refined)
+        r_hi = jnp.where(ok & enough_r, r_hi, refined)
+        r_shifts = jnp.where(rmask, r_shifts, 0.0)
+    else:
+        r_shifts = jnp.zeros_like(shifts)
+        refined = point
+        r_lo = r_hi = point
+        g_q = jnp.zeros(())
+        ok = jnp.zeros((), bool)
+    return (shifts, cmask, n_eff, point, st_lo, st_hi, ratio, lo, hi,
+            r_shifts, refined, r_lo, r_hi, g_q, ok)
 
 
 def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
@@ -302,14 +345,18 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
     # ── 4. pitch (pipeline.py:149-158) ──────────────────────────────────────
     if compute_pitch:
         (pitch_shifts, cmask, n_chunks, p_point, p_lo, p_hi,
-         pr, pr_lo, pr_hi) = jax.vmap(
-            lambda y, n: _pitch(y, n, cfg))(ys, ns)
+         pr, pr_lo, pr_hi,
+         p_ref_chunks, p_ref, p_ref_lo, p_ref_hi, p_ref_q, p_ref_ok
+         ) = jax.vmap(lambda y, n: _pitch(y, n, cfg))(ys, ns)
     else:
         pitch_shifts = jnp.zeros((B, cfg.max_chunks))
         cmask = jnp.zeros((B, cfg.max_chunks), bool)
         n_chunks = zeros_b
         p_point = p_lo = p_hi = jnp.zeros(B)
         pr = pr_lo = pr_hi = jnp.ones(B)
+        p_ref_chunks = jnp.zeros((B, cfg.max_chunks))
+        p_ref = p_ref_lo = p_ref_hi = p_ref_q = jnp.zeros(B)
+        p_ref_ok = jnp.zeros(B, bool)
 
     # ── 2/3. windows + energy gate (pipeline.py:129-146) ────────────────────
     gates = jax.vmap(lambda y, n: _gates(y, n, cfg))(ys, ns)   # (B, 2, slots)
@@ -401,6 +448,9 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
         n_chunks=n_chunks,
         pitch_point_st=p_point, pitch_st_lo=p_lo, pitch_st_hi=p_hi,
         pitch_ratio=pr, pitch_lo=pr_lo, pitch_hi=pr_hi,
+        pitch_refined_chunk_st=p_ref_chunks, pitch_refined_st=p_ref,
+        pitch_refined_lo=p_ref_lo, pitch_refined_hi=p_ref_hi,
+        pitch_refined_quality=p_ref_q, pitch_refined_ok=p_ref_ok,
         ibi_ratio=ibi_ratio, ibi_lo=i_lo, ibi_hi=i_hi, ibi_valid=ibi_valid,
         n_src_ibis=n_ibis[:, SRC], n_nc_ibis=n_ibis[:, NC],
         ibi_refined_ratio=ibi_refined,

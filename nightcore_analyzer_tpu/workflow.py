@@ -408,7 +408,11 @@ def run_loudness_adjustment(src: Path) -> None:
 # ── mode: pitch ──────────────────────────────────────────────────────────────
 
 def _pitch_shift_between(src_path: Path, nc_path: Path) -> Optional[tuple]:
-    """(ratio, shift_st, n_samples) from the device chroma pipeline."""
+    """(ratio, shift_st, n_samples, method) from the device pitch pipeline.
+
+    Prefers the sub-semitone log-spectrum refinement when its agreement
+    gate accepts it (the chroma value is 1/3-st grid-quantized, so the
+    PS-file correction loop converges much tighter on the refined value)."""
     from .config import DEFAULT_CONFIG, bucket_for_duration
     from .analyze.pipeline import analyze_arrays
     from .signal.io import load_audio
@@ -422,9 +426,14 @@ def _pitch_shift_between(src_path: Path, nc_path: Path) -> Optional[tuple]:
     except (RuntimeError, ValueError) as exc:
         print(f"  Pitch analysis failed: {exc}")
         return None
-    st = float(np.asarray(pa.pitch_point_st))
     n = int(np.asarray(pa.n_chunks))
-    return 2.0 ** (st / 12.0), st, n
+    if bool(np.asarray(pa.pitch_refined_ok)):
+        st = float(np.asarray(pa.pitch_refined_st))
+        method = "log-spectrum xcorr"
+    else:
+        st = float(np.asarray(pa.pitch_point_st))
+        method = "chroma xcorr"
+    return 2.0 ** (st / 12.0), st, n, method
 
 
 def run_pitch_analysis(src_path: Path, nc_path: Path, *,
@@ -443,15 +452,15 @@ def run_pitch_analysis(src_path: Path, nc_path: Path, *,
     out = _pitch_shift_between(src_path, nc_path)
     if out is None:
         return None
-    ratio, shift_st, n_used = out
+    ratio, shift_st, n_used, method = out
 
     print()
     _hr("═")
     print("  PITCH SHIFT — RESULT")
     _hr("═")
     print(f"  Ratio {ratio:.6f}  =  {shift_st:+.6f} semitones  "
-          f"(chroma xcorr over {n_used} chunks)")
-    
+          f"({method} over {n_used} chunks)")
+
 
     if shift_st == 0.0:
         print("\n  The two files sit at the same pitch — nothing to correct.")
@@ -484,12 +493,13 @@ def run_pitch_analysis(src_path: Path, nc_path: Path, *,
         out = _pitch_shift_between(nxt, nc_path)
         if out is None:
             break
-        _, shift_st, n_used = out
+        _, shift_st, n_used, method = out
         print()
         _hr("═")
         print("  PITCH — POST-CORRECTION CHECK")
         _hr("═")
-        print(f"  Residual shift: {shift_st:+.6f} st  (over {n_used} chunks)")
+        print(f"  Residual shift: {shift_st:+.6f} st  "
+              f"({method} over {n_used} chunks)")
         if abs(shift_st) < PITCH_SIGNIFICANT_ST:
             print("\n  Residual is inside the ±0.5 st window — correction done.")
             break

@@ -144,6 +144,9 @@ def test_classification_v2_fixes_grid_misfire():
         pitch_point_st=j(12 * np.log2(pitch_ratio)),
         pitch_st_lo=j(12 * np.log2(pitch_ratio)), pitch_st_hi=j(12 * np.log2(pitch_ratio)),
         pitch_ratio=j(pitch_ratio), pitch_lo=j(pitch_ratio), pitch_hi=j(pitch_ratio),
+        pitch_refined_chunk_st=j(np.zeros(chunks)), pitch_refined_st=j(0.0),
+        pitch_refined_lo=j(0.0), pitch_refined_hi=j(0.0),
+        pitch_refined_quality=j(0.0), pitch_refined_ok=j(False, bool),
         ibi_ratio=j(true_factor), ibi_lo=j(true_factor - 0.001),
         ibi_hi=j(true_factor + 0.001), ibi_valid=j(True, bool),
         n_src_ibis=j(200, np.int32), n_nc_ibis=j(200, np.int32),

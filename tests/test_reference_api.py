@@ -52,10 +52,15 @@ def test_pitch_module_surface():
     src = synth.music_like(25.0, sr, bpm=150.0, seed=8, chord_bars=0.5)
     nc = synth.speed_shift(src, 2.0 ** (2.0 / 12.0))   # +2 st
     src_hz, nc_hz, method = pitch.estimate_pitch_combined(src, nc, sr)
-    assert method == "chroma_xcorr"
-    assert all(v == 440.0 for v in src_hz)
-    st = 12 * np.log2(np.median(nc_hz) / 440.0)
-    assert st == pytest.approx(2.0, abs=0.34)   # 1/3-semitone grid
+    # without essentia the refinement leg is the first-party tracker; it is
+    # accepted only within ±1.5 st of chroma (reference pitch.py:274-289)
+    assert method in ("chroma_xcorr", "chroma+tpu_f0")
+    st = 12 * np.log2(np.median(nc_hz) / np.median(src_hz))
+    if method == "chroma_xcorr":
+        assert all(v == 440.0 for v in src_hz)
+        assert st == pytest.approx(2.0, abs=0.34)   # 1/3-semitone grid
+    else:
+        assert st == pytest.approx(2.0, abs=1.5)    # inside the accept gate
     assert pitch.estimate_pitch_melodia(src, nc, sr) is None  # no essentia
 
 
