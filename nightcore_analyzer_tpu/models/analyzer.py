@@ -131,17 +131,47 @@ def _gates(ys, ns, cfg: AnalyzerConfig):
 def _window_acfs(ys, cfg: AnalyzerConfig):
     """Prior-independent windowed-tempo features for both sides at once.
 
-    Returns (envs (2, slots, F), acf (2, slots, win_length)).
+    ``ys``: (..., max_samples).  Returns (envs (..., slots, F),
+    acf (..., slots, win_length)).
     """
-    f_valid = onset.onset_frames_valid(jnp.asarray(cfg.win_samples), cfg.tempo_hop)
-    mel = jax.vmap(lambda y: onset.mel_power_windows(y, cfg))(ys)
-    envs = onset.onset_envelope_from_mel(mel, f_valid, cfg.tempo_n_fft,
-                                         cfg.tempo_hop)
+    lead = ys.shape[:-1]
+    ys_f = ys.reshape(-1, ys.shape[-1])
+    f_win = 1 + cfg.win_samples // cfg.tempo_hop
+    f_valid = jnp.asarray(f_win, jnp.int32)
+
+    from ..ops.fft_mxu import _use_mxu
+    from ..ops.pallas import melfft
+    if (_use_mxu() and cfg.tempo_hop == 512
+            and melfft.supported(cfg.tempo_n_fft, None, cfg.n_mels)):
+        # Global-grid fast path: ONE hop-512 mel + envelope per side on the
+        # fused Pallas kernel, then every 10 s window slot is a static slice
+        # of the global envelope.  The reference frames each slot at its own
+        # sample origin (s·hop_samples, not a hop multiple), so this carries
+        # a ≤ half-hop (256-sample ≈ 12 ms) frame-phase offset per slot and
+        # a signal-global (not per-window) dB clamp reference — both far
+        # below the tempogram's lag resolution; the CPU path below keeps the
+        # reference-exact per-window framing, and the bench accuracy canary
+        # pins the decision-level agreement.  Cuts ~26k frames/side to ~5.2k
+        # and routes them through the VMEM-resident FFT.
+        F512 = 1 + cfg.max_samples // cfg.tempo_hop
+        mel = melfft.mel_power_hop512_batch(
+            ys_f, sr=cfg.sample_rate, n_mels=cfg.n_mels, n_frames=F512)
+        env_g = onset.onset_envelope_from_mel(
+            mel, jnp.asarray(F512, jnp.int32), cfg.tempo_n_fft, cfg.tempo_hop)
+        starts = [min(s * cfg.hop_samples // cfg.tempo_hop, max(F512 - f_win, 0))
+                  for s in range(cfg.n_window_slots)]
+        envs = jnp.stack([jax.lax.slice_in_dim(env_g, st, st + f_win, axis=-1)
+                          for st in starts], axis=-2)      # (S, slots, F)
+    else:
+        mel = jax.vmap(lambda y: onset.mel_power_windows(y, cfg))(ys_f)
+        envs = onset.onset_envelope_from_mel(mel, f_valid, cfg.tempo_n_fft,
+                                             cfg.tempo_hop)
     acf_fn = lambda e: tempogram.tempogram_mean_acf(      # noqa: E731
         e, f_valid, win_length=cfg.tempogram_win_length,
         stride=cfg.tempo_frame_stride, chunk=cfg.tg_frame_chunk)
     acf = jax.vmap(jax.vmap(acf_fn))(envs)
-    return envs, acf
+    return (envs.reshape(lead + envs.shape[1:]),
+            acf.reshape(lead + acf.shape[1:]))
 
 
 def _window_beat_counts(envs, bpms, cfg: AnalyzerConfig):
@@ -364,7 +394,7 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
         (jnp.sum(gates[:, SRC], -1) == 0)
 
     # ── 5. two-phase windowed tempo (pipeline.py:160-186) ───────────────────
-    envs, acf = jax.vmap(lambda y: _window_acfs(y, cfg))(ys)   # (B,2,slots,·)
+    envs, acf = _window_acfs(ys, cfg)                          # (B,2,slots,·)
 
     tempo_pick = lambda a, prior: tempogram.tempo_from_acf(  # noqa: E731
         a, prior, hop_length=cfg.tempo_hop, sr=cfg.sample_rate,

@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import filters
 
-__all__ = ["mel_power_global_batch", "fft_mel_frames", "supported"]
+__all__ = ["mel_power_global_batch", "mel_power_hop512_batch",
+           "fft_mel_frames", "supported"]
 
 _N_FFT = 2048
 _R = 16          # stage-1 radix (sublanes)
@@ -203,6 +204,81 @@ def mel_power_global_batch(ys: jnp.ndarray, *, sr: int, n_mels: int,
     half = _CHUNK // 2
     out = out.reshape(S, n_chunks, 2, half, 128).transpose(0, 1, 3, 2, 4)
     return out.reshape(S, n_chunks * _CHUNK, 128)[:, :n_frames, :n_mels]
+
+
+# ── fused hop-512 path (windowed-tempo global grid) ────────────────────────
+#
+# At hop 512 every frame start is 4 whole rows of the (rows, 128) signal
+# view.  Four row-decimated HBM views (view_q[m] = row 4m + q) turn every
+# frame-sample block into a plain contiguous row slice: frame n's block
+# a = 4d + q is view_q[n + d] — the same shifted-views trick the hop-64
+# kernel uses, generalized from 2 to 4 phases.  Frames come out in natural
+# time order (no even/odd regrouping).
+
+_CHUNK5 = 512    # frames per grid step (hop-512 path)
+
+
+def _seg_rows_h512(chunk: int) -> int:
+    # +4 rows of halo for the d-offset (a//4 ∈ [0,4)); rounded to 8 sublanes
+    return -(-(chunk + 4) // 8) * 8
+
+
+def _fused_kernel_h512(y_ref, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref,
+                       out_ref, seg_ref, sem):
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+    hr = seg_ref.shape[1]
+    for q in range(4):
+        pltpu.make_async_copy(y_ref.at[s, q, pl.ds(c * _CHUNK5, hr), :],
+                              seg_ref.at[q], sem.at[q]).start()
+    for q in range(4):
+        pltpu.make_async_copy(y_ref.at[s, q, pl.ds(c * _CHUNK5, hr), :],
+                              seg_ref.at[q], sem.at[q]).wait()
+    xt = jnp.stack([seg_ref[a % 4, a // 4:a // 4 + _CHUNK5, :]
+                    for a in range(_R)])                      # (16,CHUNK,128)
+    out_ref[0] = _fft_mel_core(xt, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref)
+
+
+@partial(jax.jit, static_argnames=("sr", "n_mels", "n_frames", "interpret"))
+def mel_power_hop512_batch(ys: jnp.ndarray, *, sr: int, n_mels: int,
+                           n_frames: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Batched full-signal mel power at hop 512 (centered STFT frames).
+
+    ``ys``: (S, max_samples) float32 → (S, n_frames, n_mels) float32.
+    Serves the windowed-tempo stage's global-grid fast path
+    (``models.analyzer._window_acfs``).
+    """
+    S = ys.shape[0]
+    n_chunks = -(-n_frames // _CHUNK5)
+    hr = _seg_rows_h512(_CHUNK5)
+    need4 = n_chunks * _CHUNK5 + hr
+    pad = _N_FFT // 2
+    width = need4 * 4 * 128
+    ypad = jnp.pad(ys, ((0, 0), (pad, max(0, width - pad - ys.shape[1]))))
+    # four phase-decimated row views: yq[s, q, m] = rows 4m+q of the
+    # (need4*4, 128) signal view
+    yq = ypad[:, :width].reshape(S, need4, 4, 128).transpose(0, 2, 1, 3)
+
+    out = pl.pallas_call(
+        _fused_kernel_h512,
+        grid=(S, n_chunks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((2 * _R, _R), lambda s, c: (0, 0)),
+                  pl.BlockSpec((_R, _C, 2 * _C), lambda s, c: (0, 0, 0)),
+                  pl.BlockSpec((_R, _C, 2 * _C), lambda s, c: (0, 0, 0)),
+                  pl.BlockSpec((_R, _C, 128), lambda s, c: (0, 0, 0)),
+                  pl.BlockSpec((_R, 1, _C), lambda s, c: (0, 0, 0))],
+        out_specs=pl.BlockSpec((1, _CHUNK5, 128), lambda s, c: (s, c, 0)),
+        out_shape=jax.ShapeDtypeStruct((S, n_chunks * _CHUNK5, 128),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, hr, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(yq, *_const_args(sr, n_mels))
+    return out[:, :n_frames, :n_mels]
 
 
 # ── frames API (pre-framed input; used by tests and the windowed path) ─────
