@@ -214,3 +214,72 @@ def test_pallas_acf_matches_jnp_path(rng):
         jnp.asarray(env[i]), jnp.asarray(nv[i]), win_length=win,
         stride=stride, max_lag=maxlag)) for i in range(2)])
     assert np.abs(got - ref).max() < 1e-5
+
+
+def test_melfft_hop512_matches_exact(rng):
+    """Fused hop-512 global mel (four phase-decimated views, interpret mode)
+    vs an exact centered-STFT mel at hop 512."""
+    from nightcore_analyzer_tpu.ops.pallas import melfft
+    sr, n_mels, n_fft, hop = 22050, 128, 2048, 512
+    n = 9 * sr // 2
+    n_frames = 1 + n // hop
+    ys = rng.standard_normal((2, n)).astype(np.float32)
+    out = np.asarray(melfft.mel_power_hop512_batch(
+        jnp.asarray(ys), sr=sr, n_mels=n_mels, n_frames=n_frames,
+        interpret=True))
+    w = filters.hann(n_fft)
+    mel_b = filters.mel_filterbank(sr, n_fft, n_mels).T
+    pad = np.pad(ys, ((0, 0), (n_fft // 2, n_fft)))
+    ref = np.stack([
+        (np.abs(np.fft.rfft(np.stack(
+            [pad[s, f * hop:f * hop + n_fft] for f in range(n_frames)]) * w,
+            axis=-1)) ** 2) @ mel_b
+        for s in range(2)])
+    assert out.shape == (2, n_frames, n_mels)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.01                       # bf16 noise floor
+
+
+def test_window_acfs_fast_path_decision_equivalence():
+    """The TPU global-grid fast path of ``_window_acfs`` must produce the
+    same per-slot BPM picks as the reference-exact per-window framing.
+
+    Forced on CPU by patching ``_use_mxu`` and running the Pallas kernel in
+    interpret mode (the gate is backend-based, so plain CI never takes the
+    fast branch)."""
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.models import analyzer as A
+    from nightcore_analyzer_tpu.ops import tempogram
+    from nightcore_analyzer_tpu.ops.pallas import melfft
+    from nightcore_analyzer_tpu.utils import synth
+
+    cfg = AnalyzerConfig(max_duration_sec=30.0, max_beats=256,
+                         max_beats_window=64, frame_chunk=512)
+    y = synth.music_like(28.0, cfg.sample_rate, bpm=126.0, seed=3)
+    ys = jnp.asarray(y[None, :cfg.max_samples]) \
+        if len(y) >= cfg.max_samples else jnp.asarray(
+            np.pad(y, (0, cfg.max_samples - len(y)))[None])
+
+    _, acf_exact = A._window_acfs(ys, cfg)
+
+    real_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return real_call(*a, **k)
+
+    with mock.patch.object(A, "_window_acfs", wraps=A._window_acfs), \
+         mock.patch("nightcore_analyzer_tpu.ops.fft_mxu._use_mxu",
+                    lambda: True), \
+         mock.patch.object(melfft.pl, "pallas_call", interp_call):
+        _, acf_fast = A._window_acfs(ys, cfg)
+
+    pick = lambda a: np.asarray(jax.vmap(lambda aa: tempogram.tempo_from_acf(
+        aa, jnp.asarray(120.0), hop_length=cfg.tempo_hop,
+        sr=cfg.sample_rate))(a))
+    n_full = (len(y) - cfg.win_samples) // cfg.hop_samples + 1
+    bpm_exact = pick(acf_exact[0])[:n_full]
+    bpm_fast = pick(acf_fast[0])[:n_full]
+    assert np.array_equal(bpm_exact, bpm_fast), (bpm_exact, bpm_fast)
