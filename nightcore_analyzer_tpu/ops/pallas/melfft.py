@@ -26,9 +26,9 @@ Math (N = 2048, frame index n = 128·a + b, a∈[0,16), b∈[0,128)):
                                                      twiddle pre-folded)
     mel[m]    = Σ_{r,c} |X[16c+r]|² · MelP[r][c,m]  mel fold (k>N/2 rows 0)
 
-Stage 2 runs as two accumulated (rows,128)@(128,256) bf16 MXU matmuls per
-radix group (real+imag packed on the N axis); mel is one more matmul per
-group.  bf16 with f32 accumulation matches the precision class of the
+Stage 2 runs as one (rows,256)@(256,256) bf16 MXU matmul per radix group
+(real+imag K-stacked); the mel fold is a single (rows,2048)@(2048,128)
+matmul over all groups.  bf16 with f32 accumulation matches the precision class of the
 windowed-DFT path this replaces (mel feeds a dB→flux detector where
 bf16's ~0.4 % noise is ≈0.03 dB, far below musical onset contrast).
 
@@ -72,9 +72,11 @@ def _consts(sr: int, n_mels: int):
     """numpy constants (NOT jnp — this cache is shared across jit traces).
 
     F2cat (32,16): [Re;Im] of the 16-point DFT.
-    K2a/K2b (16,128,256): stage-2 weights with twiddle folded, packed so
-      P = G_r·K2a[r] + G_i·K2b[r] = [Re(X) | Im(X)].
-    MelP (16,128,128): per-group mel fold, bins k = 16c+r, rows k>1024 zero.
+    K2 (16,256,256): stage-2 weights with twiddle folded, K-stacked so
+      P = [G_r | G_i] · K2[r] = [Re(X) | Im(X)]  (one K=256 matmul/group).
+    MelP2 (2048,128): mel fold over all groups at once — row r·128+c holds
+      mel weights of bin k = 16c+r (k>1024 rows zero), matching the
+      lane-concatenated |X|² layout the core builds.
     w (16,1,128): Hann window over n = 128a+b.
     """
     a = np.arange(_R)
@@ -87,46 +89,59 @@ def _consts(sr: int, n_mels: int):
     M = W[:, :, None] * F1[None, :, :]                    # (r, b, c)
     K2a = np.concatenate([M.real, M.imag], axis=2)        # (r, 128, 256)
     K2b = np.concatenate([-M.imag, M.real], axis=2)
+    K2 = np.concatenate([K2a, K2b], axis=1)               # (r, 256, 256)
     F2cat = np.concatenate([F2.real, F2.imag], axis=0)    # (32, 16)
 
     mel = filters.mel_filterbank(sr, _N_FFT, n_mels)      # (m, bins)
-    melp = np.zeros((_R, _C, 128), np.float32)
+    melp2 = np.zeros((_R * _C, 128), np.float32)
     for rr in range(_R):
         for cc in range(_C):
             k = 16 * cc + rr
             if k <= _N_FFT // 2:
-                melp[rr, cc, :n_mels] = mel[:, k]
+                melp2[rr * _C + cc, :n_mels] = mel[:, k]
 
     w = filters.hann(_N_FFT).astype(np.float32).reshape(_R, 1, _C)
-    return (F2cat.astype(np.float32), K2a.astype(np.float32),
-            K2b.astype(np.float32), melp, w)
+    return (F2cat.astype(np.float32), K2.astype(np.float32), melp2, w)
 
 
 def _const_args(sr: int, n_mels: int):
-    f2, k2a, k2b, melp, w = _consts(sr, n_mels)
+    f2, k2, melp2, w = _consts(sr, n_mels)
     bf = jnp.bfloat16
-    return (jnp.asarray(f2, bf), jnp.asarray(k2a, bf), jnp.asarray(k2b, bf),
-            jnp.asarray(melp, bf), jnp.asarray(w))
+    return (jnp.asarray(f2, bf), jnp.asarray(k2, bf),
+            jnp.asarray(melp2, bf), jnp.asarray(w))
 
 
-def _fft_mel_core(xt, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref):
-    """(16, rows, 128) f32 frames → (rows, 128) f32 mel power (in VMEM)."""
+def _const_specs():
+    """BlockSpecs for the constant operands (shared by all three kernels)."""
+    return [pl.BlockSpec((2 * _R, _R), lambda *ids: (0, 0)),
+            pl.BlockSpec((_R, 2 * _C, 2 * _C), lambda *ids: (0, 0, 0)),
+            pl.BlockSpec((_R * _C, 128), lambda *ids: (0, 0)),
+            pl.BlockSpec((_R, 1, _C), lambda *ids: (0, 0, 0))]
+
+
+def _fft_mel_core(xt, f2_ref, k2_ref, melp2_ref, w_ref):
+    """(16, rows, 128) f32 frames → (rows, 128) f32 mel power (in VMEM).
+
+    Stage 2 runs one K=256 matmul per radix group ([G_r|G_i]·K2[r]); the
+    mel fold is a single K=2048 matmul over the lane-concatenated |X|² of
+    all 16 groups — deeper contractions keep the MXU pipeline full vs the
+    32 K=128 matmuls + 16 accumulating folds this replaces.
+    """
     rows = xt.shape[1]
     bf = jnp.bfloat16
     xw = (xt * w_ref[:]).astype(bf)
     g = jnp.dot(f2_ref[:], xw.reshape(_R, rows * _C),
                 preferred_element_type=jnp.float32).astype(bf)
     g = g.reshape(2 * _R, rows, _C)
-    acc = jnp.zeros((rows, _C), jnp.float32)
+    mags = []
     for r in range(_R):                       # static unroll: 16 radix groups
-        p = (jnp.dot(g[r], k2a_ref[r], preferred_element_type=jnp.float32)
-             + jnp.dot(g[_R + r], k2b_ref[r],
-                       preferred_element_type=jnp.float32))
+        gcat = jnp.concatenate([g[r], g[_R + r]], axis=1)      # (rows, 256)
+        p = jnp.dot(gcat, k2_ref[r], preferred_element_type=jnp.float32)
         pr, pi = p[:, :_C], p[:, _C:]
-        mag2 = (pr * pr + pi * pi).astype(bf)
-        acc = acc + jnp.dot(mag2, melp_ref[r],
-                            preferred_element_type=jnp.float32)
-    return acc
+        mags.append((pr * pr + pi * pi).astype(bf))
+    mag_all = jnp.concatenate(mags, axis=1)                    # (rows, 2048)
+    return jnp.dot(mag_all, melp2_ref[:],
+                   preferred_element_type=jnp.float32)
 
 
 # ── fused path: signal in, mel out (framing inside the kernel) ─────────────
@@ -137,7 +152,7 @@ def _seg_rows(chunk: int) -> int:
     return -(-(chunk // 2 + _R + 1) // 8) * 8
 
 
-def _fused_kernel(y_ref, yb_ref, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref,
+def _fused_kernel(y_ref, yb_ref, f2_ref, k2_ref, melp2_ref, w_ref,
                   out_ref, seg_ref, segb_ref, sem, semb):
     s = pl.program_id(0)
     c = pl.program_id(1)
@@ -156,7 +171,7 @@ def _fused_kernel(y_ref, yb_ref, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref,
     evens = jnp.stack([seg2[a:a + half] for a in range(_R)])   # (16,half,128)
     odds = jnp.stack([segb[a:a + half] for a in range(_R)])
     xt = jnp.concatenate([evens, odds], axis=1)                # (16,CHUNK,128)
-    out_ref[0] = _fft_mel_core(xt, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref)
+    out_ref[0] = _fft_mel_core(xt, f2_ref, k2_ref, melp2_ref, w_ref)
 
 
 @partial(jax.jit, static_argnames=("sr", "n_mels", "n_frames", "interpret"))
@@ -184,11 +199,7 @@ def mel_power_global_batch(ys: jnp.ndarray, *, sr: int, n_mels: int,
         grid=(S, n_chunks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec((2 * _R, _R), lambda s, c: (0, 0)),
-                  pl.BlockSpec((_R, _C, 2 * _C), lambda s, c: (0, 0, 0)),
-                  pl.BlockSpec((_R, _C, 2 * _C), lambda s, c: (0, 0, 0)),
-                  pl.BlockSpec((_R, _C, 128), lambda s, c: (0, 0, 0)),
-                  pl.BlockSpec((_R, 1, _C), lambda s, c: (0, 0, 0))],
+                  *_const_specs()],
         out_specs=pl.BlockSpec((1, _CHUNK, 128), lambda s, c: (s, c, 0)),
         out_shape=jax.ShapeDtypeStruct((S, n_chunks * _CHUNK, 128),
                                        jnp.float32),
@@ -223,7 +234,7 @@ def _seg_rows_h512(chunk: int) -> int:
     return -(-(chunk + 4) // 8) * 8
 
 
-def _fused_kernel_h512(y_ref, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref,
+def _fused_kernel_h512(y_ref, f2_ref, k2_ref, melp2_ref, w_ref,
                        out_ref, seg_ref, sem):
     s = pl.program_id(0)
     c = pl.program_id(1)
@@ -236,7 +247,7 @@ def _fused_kernel_h512(y_ref, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref,
                               seg_ref.at[q], sem.at[q]).wait()
     xt = jnp.stack([seg_ref[a % 4, a // 4:a // 4 + _CHUNK5, :]
                     for a in range(_R)])                      # (16,CHUNK,128)
-    out_ref[0] = _fft_mel_core(xt, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref)
+    out_ref[0] = _fft_mel_core(xt, f2_ref, k2_ref, melp2_ref, w_ref)
 
 
 @partial(jax.jit, static_argnames=("sr", "n_mels", "n_frames", "interpret"))
@@ -264,11 +275,7 @@ def mel_power_hop512_batch(ys: jnp.ndarray, *, sr: int, n_mels: int,
         _fused_kernel_h512,
         grid=(S, n_chunks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec((2 * _R, _R), lambda s, c: (0, 0)),
-                  pl.BlockSpec((_R, _C, 2 * _C), lambda s, c: (0, 0, 0)),
-                  pl.BlockSpec((_R, _C, 2 * _C), lambda s, c: (0, 0, 0)),
-                  pl.BlockSpec((_R, _C, 128), lambda s, c: (0, 0, 0)),
-                  pl.BlockSpec((_R, 1, _C), lambda s, c: (0, 0, 0))],
+                  *_const_specs()],
         out_specs=pl.BlockSpec((1, _CHUNK5, 128), lambda s, c: (s, c, 0)),
         out_shape=jax.ShapeDtypeStruct((S, n_chunks * _CHUNK5, 128),
                                        jnp.float32),
@@ -283,9 +290,9 @@ def mel_power_hop512_batch(ys: jnp.ndarray, *, sr: int, n_mels: int,
 
 # ── frames API (pre-framed input; used by tests and the windowed path) ─────
 
-def _frames_kernel(x_ref, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref, out_ref):
+def _frames_kernel(x_ref, f2_ref, k2_ref, melp2_ref, w_ref, out_ref):
     xt = jnp.transpose(x_ref[:], (1, 0, 2)).astype(jnp.float32)
-    out_ref[:] = _fft_mel_core(xt, f2_ref, k2a_ref, k2b_ref, melp_ref, w_ref)
+    out_ref[:] = _fft_mel_core(xt, f2_ref, k2_ref, melp2_ref, w_ref)
 
 
 @partial(jax.jit, static_argnames=("sr", "n_mels", "interpret"))
@@ -310,11 +317,7 @@ def fft_mel_frames(frames: jnp.ndarray, *, sr: int, n_mels: int,
         _frames_kernel,
         grid=(total // _BLOCK,),
         in_specs=[pl.BlockSpec((_BLOCK, _R, _C), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((2 * _R, _R), lambda i: (0, 0)),
-                  pl.BlockSpec((_R, _C, 2 * _C), lambda i: (0, 0, 0)),
-                  pl.BlockSpec((_R, _C, 2 * _C), lambda i: (0, 0, 0)),
-                  pl.BlockSpec((_R, _C, 128), lambda i: (0, 0, 0)),
-                  pl.BlockSpec((_R, 1, _C), lambda i: (0, 0, 0))],
+                  *_const_specs()],
         out_specs=pl.BlockSpec((_BLOCK, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((total, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
