@@ -199,7 +199,7 @@ def measure_cpu_baseline(duration: float, full_duration: float,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--pairs", type=int, default=64)
     ap.add_argument("--duration", type=float, default=110.0)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--baseline-duration", type=float, default=60.0)
