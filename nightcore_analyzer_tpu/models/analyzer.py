@@ -128,11 +128,15 @@ def _gates(ys, ns, cfg: AnalyzerConfig):
     return jax.vmap(one)(ys, ns)
 
 
-def _window_acfs(ys, cfg: AnalyzerConfig):
+def _window_acfs(ys, cfg: AnalyzerConfig, mel64=None):
     """Prior-independent windowed-tempo features for both sides at once.
 
     ``ys``: (..., max_samples).  Returns (envs (..., slots, F),
-    acf (..., slots, win_length)).
+    acf (..., slots, win_length)).  ``mel64``: optional precomputed hop-64
+    global mel power (..., global_onset_frames, n_mels) — the IBI pass
+    computes it anyway, and at the default geometry (tempo_hop = 8·ibi_hop,
+    same n_fft/window) every hop-512 frame is exactly every 8th hop-64
+    frame, so the fast path below subsamples it for free.
     """
     lead = ys.shape[:-1]
     ys_f = ys.reshape(-1, ys.shape[-1])
@@ -141,10 +145,14 @@ def _window_acfs(ys, cfg: AnalyzerConfig):
 
     from ..ops.fft_mxu import _use_mxu
     from ..ops.pallas import melfft
-    if (_use_mxu() and cfg.tempo_hop == 512
-            and melfft.supported(cfg.tempo_n_fft, None, cfg.n_mels)):
-        # Global-grid fast path: ONE hop-512 mel + envelope per side on the
-        # fused Pallas kernel, then every 10 s window slot is a static slice
+    stride = cfg.tempo_hop // cfg.ibi_hop
+    share_mel = (mel64 is not None and _use_mxu()
+                 and cfg.tempo_hop == stride * cfg.ibi_hop)
+    if share_mel or (_use_mxu() and cfg.tempo_hop == 512
+                     and melfft.supported(cfg.tempo_n_fft, None, cfg.n_mels)):
+        # Global-grid fast path: ONE hop-512 mel + envelope per side (every
+        # 8th row of the IBI pass's hop-64 mel when provided, else the fused
+        # Pallas kernel), then every 10 s window slot is a static slice
         # of the global envelope.  The reference frames each slot at its own
         # sample origin (s·hop_samples, not a hop multiple), so this carries
         # a ≤ half-hop (256-sample ≈ 12 ms) frame-phase offset per slot and
@@ -154,8 +162,20 @@ def _window_acfs(ys, cfg: AnalyzerConfig):
         # pins the decision-level agreement.  Cuts ~26k frames/side to ~5.2k
         # and routes them through the VMEM-resident FFT.
         F512 = 1 + cfg.max_samples // cfg.tempo_hop
-        mel = melfft.mel_power_hop512_batch(
-            ys_f, sr=cfg.sample_rate, n_mels=cfg.n_mels, n_frames=F512)
+        if share_mel:
+            # stride-8 frame subsample via pad→reshape→plain slice (a
+            # strided slice here made the corpus program's XLA compile
+            # pathological: >40 min vs ~9 min)
+            m = mel64.reshape((-1,) + mel64.shape[len(lead):])
+            F64 = m.shape[1]
+            padf = (-F64) % stride
+            if padf:
+                m = jnp.pad(m, ((0, 0), (0, padf), (0, 0)))
+            mel = m.reshape(m.shape[0], -1, stride,
+                            m.shape[-1])[:, :F512, 0, :]
+        else:
+            mel = melfft.mel_power_hop512_batch(
+                ys_f, sr=cfg.sample_rate, n_mels=cfg.n_mels, n_frames=F512)
         env_g = onset.onset_envelope_from_mel(
             mel, jnp.asarray(F512, jnp.int32), cfg.tempo_n_fft, cfg.tempo_hop)
         starts = [min(s * cfg.hop_samples // cfg.tempo_hop, max(F512 - f_win, 0))
@@ -185,16 +205,19 @@ def _window_beat_counts(envs, bpms, cfg: AnalyzerConfig):
     return track.n_beats
 
 
-def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig):
+def _global_ibis(ys, ns, start_bpms, cfg: AnalyzerConfig, mel64=None):
     """Full-signal hop-64 IBI extraction over arbitrary leading dims
-    (reference tempo.py:120-173).  ``ys``: (..., max_samples)."""
+    (reference tempo.py:120-173).  ``ys``: (..., max_samples); ``mel64``:
+    optional precomputed hop-64 global mel (shared with the windowed-tempo
+    stage by ``analyze_batch``)."""
     lead = ys.shape[:-1]
     ys_f = ys.reshape((-1, ys.shape[-1]))
     ns_f = ns.reshape(-1)
     bpm0_f = start_bpms.reshape(-1)
 
     n_frames = jax.vmap(lambda n: onset.onset_frames_valid(n, cfg.ibi_hop))(ns_f)
-    mel = onset.mel_power_global_batch(ys_f, cfg)
+    mel = (mel64.reshape((-1,) + mel64.shape[len(lead):])
+           if mel64 is not None else onset.mel_power_global_batch(ys_f, cfg))
     env = jax.vmap(lambda m, f: onset.onset_envelope_from_mel(
         m, f, cfg.tempo_n_fft, cfg.ibi_hop))(mel, n_frames)
     # Full librosa ac_size window (2756 frames = 8 s at hop 64); only the
@@ -394,7 +417,12 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
         (jnp.sum(gates[:, SRC], -1) == 0)
 
     # ── 5. two-phase windowed tempo (pipeline.py:160-186) ───────────────────
-    envs, acf = _window_acfs(ys, cfg)                          # (B,2,slots,·)
+    # One hop-64 global mel serves both the windowed-tempo stage (every 8th
+    # frame IS the hop-512 grid) and the IBI pass below.
+    mel64 = onset.mel_power_global_batch(
+        ys.reshape(-1, ys.shape[-1]), cfg).reshape(
+            B, 2, -1, cfg.n_mels)
+    envs, acf = _window_acfs(ys, cfg, mel64)                   # (B,2,slots,·)
 
     tempo_pick = lambda a, prior: tempogram.tempo_from_acf(  # noqa: E731
         a, prior, hop_length=cfg.tempo_hop, sr=cfg.sample_rate,
@@ -442,7 +470,7 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
 
     # ── 7. IBI pass (pipeline.py:198-213) ───────────────────────────────────
     start_bpms = jnp.stack([nc_start_bpm, jnp.full(B, 120.0)], axis=1)
-    ibis, imask, n_ibis, ivalid = _global_ibis(ys, ns, start_bpms, cfg)
+    ibis, imask, n_ibis, ivalid = _global_ibis(ys, ns, start_bpms, cfg, mel64)
     # ratio = median(src)/median(nc)  (consensus.py:270-312)
     ibi_ratio, i_lo, i_hi = boot(
         ibis[:, SRC], imask[:, SRC], ibis[:, NC], imask[:, NC])

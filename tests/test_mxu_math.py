@@ -275,6 +275,12 @@ def test_window_acfs_fast_path_decision_equivalence():
                     lambda: True), \
          mock.patch.object(melfft.pl, "pallas_call", interp_call):
         _, acf_fast = A._window_acfs(ys, cfg)
+        # shared-mel variant: every 8th row of the hop-64 global mel must
+        # yield the same decisions as the dedicated hop-512 kernel
+        mel64 = melfft.mel_power_global_batch(
+            ys, sr=cfg.sample_rate, n_mels=cfg.n_mels,
+            n_frames=cfg.global_onset_frames, interpret=True)
+        _, acf_shared = A._window_acfs(ys, cfg, mel64)
 
     pick = lambda a: np.asarray(jax.vmap(lambda aa: tempogram.tempo_from_acf(
         aa, jnp.asarray(120.0), hop_length=cfg.tempo_hop,
@@ -282,4 +288,6 @@ def test_window_acfs_fast_path_decision_equivalence():
     n_full = (len(y) - cfg.win_samples) // cfg.hop_samples + 1
     bpm_exact = pick(acf_exact[0])[:n_full]
     bpm_fast = pick(acf_fast[0])[:n_full]
+    bpm_shared = pick(acf_shared[0])[:n_full]
     assert np.array_equal(bpm_exact, bpm_fast), (bpm_exact, bpm_fast)
+    assert np.array_equal(bpm_exact, bpm_shared), (bpm_exact, bpm_shared)
