@@ -21,7 +21,32 @@ codec, GUI) can be imported independently without pulling in the whole stack.
 from __future__ import annotations
 
 import importlib
+import os
+from pathlib import Path
 from typing import Any
+
+# Every entry point (CLI, workflow, GUI, batch driver) gets the persistent
+# XLA compile cache, not just bench.py — without it each invocation pays a
+# minutes-long cold compile of the analysis program.  Respect an explicit
+# env override; prefer the repo-level .jax_cache (committed, pre-warmed)
+# when it exists, else a user cache dir.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    _repo_cache = Path(__file__).resolve().parent.parent / ".jax_cache"
+    if not _repo_cache.is_dir():
+        _repo_cache = Path.home() / ".cache" / "nightcore_analyzer_tpu" / "jax"
+        try:
+            _repo_cache.mkdir(parents=True, exist_ok=True)
+        except OSError:
+            _repo_cache = None
+    if _repo_cache is not None:
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = str(_repo_cache)
+        import sys as _sys
+        if "jax" in _sys.modules:      # env read happens at jax import time
+            try:
+                _sys.modules["jax"].config.update(
+                    "jax_compilation_cache_dir", str(_repo_cache))
+            except Exception:          # noqa: BLE001 — cache is best-effort
+                pass
 
 __version__ = "0.3.0"
 __all__ = ["run", "AnalysisResult", "export", "session", "__version__"]
