@@ -100,3 +100,37 @@ def test_decode_error_surface(tmp_path):
         native.decode_native(str(bad))
     with pytest.raises(native.NativeAudioError):
         native.decode_native(str(tmp_path / "missing.flac"))
+
+
+def test_decode_corruption_fuzz(tmp_path, tone):
+    """Truncated and bit-flipped FLAC/WAV must decode or raise
+    NativeAudioError — never crash the host process (the decoder runs
+    in-process on untrusted files; round-1 advisory found heap overflows
+    here, so this pins the hardening).  Deterministic seed."""
+    rng = np.random.default_rng(0xC0DEC)
+    paths = []
+    f = tmp_path / "t.flac"
+    native.encode_flac(str(f), tone, 22050)
+    paths.append(f)
+    w = tmp_path / "t.wav"
+    native.encode_wav(str(w), tone, 22050)
+    paths.append(w)
+    for p in paths:
+        data = bytearray(p.read_bytes())
+        for cut in (8, len(data) // 3, len(data) - 5):
+            q = tmp_path / f"cut_{p.suffix[1:]}_{cut}{p.suffix}"
+            q.write_bytes(bytes(data[:cut]))
+            try:
+                native.decode_native(str(q))
+            except native.NativeAudioError:
+                pass
+        for trial in range(20):
+            mut = bytearray(data)
+            for _ in range(rng.integers(1, 24)):
+                mut[int(rng.integers(0, len(mut)))] = int(rng.integers(256))
+            q = tmp_path / f"mut_{p.suffix[1:]}_{trial}{p.suffix}"
+            q.write_bytes(bytes(mut))
+            try:
+                native.decode_native(str(q))
+            except native.NativeAudioError:
+                pass
