@@ -146,9 +146,11 @@ def _window_acfs(ys, cfg: AnalyzerConfig, mel64=None):
     from ..ops.fft_mxu import _use_mxu
     from ..ops.pallas import melfft
     stride = cfg.tempo_hop // cfg.ibi_hop
-    share_mel = (mel64 is not None and _use_mxu()
+    F512 = 1 + cfg.max_samples // cfg.tempo_hop
+    fits = f_win <= F512        # window longer than the bucket → exact path
+    share_mel = (mel64 is not None and _use_mxu() and fits
                  and cfg.tempo_hop == stride * cfg.ibi_hop)
-    if share_mel or (_use_mxu() and cfg.tempo_hop == 512
+    if share_mel or (_use_mxu() and fits and cfg.tempo_hop == 512
                      and melfft.supported(cfg.tempo_n_fft, None, cfg.n_mels)):
         # Global-grid fast path: ONE hop-512 mel + envelope per side (every
         # 8th row of the IBI pass's hop-64 mel when provided, else the fused
@@ -161,7 +163,6 @@ def _window_acfs(ys, cfg: AnalyzerConfig, mel64=None):
         # reference-exact per-window framing, and the bench accuracy canary
         # pins the decision-level agreement.  Cuts ~26k frames/side to ~5.2k
         # and routes them through the VMEM-resident FFT.
-        F512 = 1 + cfg.max_samples // cfg.tempo_hop
         if share_mel:
             # stride-8 frame subsample via pad→reshape→plain slice (a
             # strided slice here made the corpus program's XLA compile
@@ -178,10 +179,20 @@ def _window_acfs(ys, cfg: AnalyzerConfig, mel64=None):
                 ys_f, sr=cfg.sample_rate, n_mels=cfg.n_mels, n_frames=F512)
         env_g = onset.onset_envelope_from_mel(
             mel, jnp.asarray(F512, jnp.int32), cfg.tempo_n_fft, cfg.tempo_hop)
-        starts = [min(s * cfg.hop_samples // cfg.tempo_hop, max(F512 - f_win, 0))
+        # round-to-nearest keeps the frame-phase offset ≤ half a hop (floor
+        # division reached a full hop at some slots)
+        starts = [min((s * cfg.hop_samples + cfg.tempo_hop // 2)
+                      // cfg.tempo_hop, max(F512 - f_win, 0))
                   for s in range(cfg.n_window_slots)]
         envs = jnp.stack([jax.lax.slice_in_dim(env_g, st, st + f_win, axis=-1)
                           for st in starts], axis=-2)      # (S, slots, F)
+        # per-window envelopes start with onset_pad_width zero frames
+        # (librosa zero-pads the flux head); zero the slice heads so slot
+        # envelopes match the reference-exact path there instead of
+        # carrying cross-window-boundary flux
+        pad_w = onset.onset_pad_width(cfg.tempo_n_fft, cfg.tempo_hop)
+        head = (jnp.arange(f_win) >= pad_w).astype(envs.dtype)
+        envs = envs * head
     else:
         mel = jax.vmap(lambda y: onset.mel_power_windows(y, cfg))(ys_f)
         envs = onset.onset_envelope_from_mel(mel, f_valid, cfg.tempo_n_fft,

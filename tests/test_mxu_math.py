@@ -270,17 +270,23 @@ def test_window_acfs_fast_path_decision_equivalence():
         k["interpret"] = True
         return real_call(*a, **k)
 
-    with mock.patch.object(A, "_window_acfs", wraps=A._window_acfs), \
-         mock.patch("nightcore_analyzer_tpu.ops.fft_mxu._use_mxu",
-                    lambda: True), \
-         mock.patch.object(melfft.pl, "pallas_call", interp_call):
-        _, acf_fast = A._window_acfs(ys, cfg)
-        # shared-mel variant: every 8th row of the hop-64 global mel must
-        # yield the same decisions as the dedicated hop-512 kernel
-        mel64 = melfft.mel_power_global_batch(
-            ys, sr=cfg.sample_rate, n_mels=cfg.n_mels,
-            n_frames=cfg.global_onset_frames, interpret=True)
-        _, acf_shared = A._window_acfs(ys, cfg, mel64)
+    try:
+        with mock.patch("nightcore_analyzer_tpu.ops.fft_mxu._use_mxu",
+                        lambda: True), \
+             mock.patch.object(melfft.pl, "pallas_call", interp_call):
+            _, acf_fast = A._window_acfs(ys, cfg)
+            # shared-mel variant: every 8th row of the hop-64 global mel
+            # must yield the same decisions as the dedicated hop-512 kernel
+            mel64 = melfft.mel_power_global_batch(
+                ys, sr=cfg.sample_rate, n_mels=cfg.n_mels,
+                n_frames=cfg.global_onset_frames, interpret=True)
+            _, acf_shared = A._window_acfs(ys, cfg, mel64)
+    finally:
+        # the patched pallas_call traced interpret-mode executables into
+        # the jit caches under interpret=False keys — drop them so later
+        # same-process calls retrace cleanly
+        melfft.mel_power_hop512_batch.clear_cache()
+        melfft.mel_power_global_batch.clear_cache()
 
     pick = lambda a: np.asarray(jax.vmap(lambda aa: tempogram.tempo_from_acf(
         aa, jnp.asarray(120.0), hop_length=cfg.tempo_hop,
@@ -291,3 +297,23 @@ def test_window_acfs_fast_path_decision_equivalence():
     bpm_shared = pick(acf_shared[0])[:n_full]
     assert np.array_equal(bpm_exact, bpm_fast), (bpm_exact, bpm_fast)
     assert np.array_equal(bpm_exact, bpm_shared), (bpm_exact, bpm_shared)
+
+
+def test_window_acfs_window_longer_than_bucket():
+    """window_sec > bucket (f_win > F512) must fall back to the exact
+    windowed path on TPU instead of crashing at trace time (the global-grid
+    slice cannot cover a window longer than the signal grid)."""
+    import unittest.mock as mock
+    import numpy as np
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.models import analyzer as A
+
+    cfg = AnalyzerConfig(max_duration_sec=8.0, window_sec=10.0, hop_sec=5.0,
+                         max_beats=128, max_beats_window=32, frame_chunk=512)
+    ys = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, cfg.max_samples)).astype(np.float32))
+    mel64 = jnp.zeros((1, cfg.global_onset_frames, cfg.n_mels))
+    with mock.patch("nightcore_analyzer_tpu.ops.fft_mxu._use_mxu",
+                    lambda: True):
+        envs, acf = A._window_acfs(ys, cfg, mel64)   # must not raise
+    assert envs.shape[0] == 1 and acf.shape[-1] == cfg.tempogram_win_length
