@@ -116,7 +116,8 @@ class PairAnalysis(NamedTuple):
 
 def _strip(y, n, cfg: AnalyzerConfig):
     start, end = energy.trim_bounds_y(y, n, cfg.silence_strip_db)
-    y2 = energy.roll_to_start(y, start)
+    # trim starts are multiples of the 512 trim hop → block roll
+    y2 = energy.roll_to_start(y, start, block=512)
     return y2, end - start, start, n - end
 
 
@@ -379,28 +380,38 @@ def analyze_batch(nc: jnp.ndarray, n_nc: jnp.ndarray,
     n_src = n_src.astype(jnp.int32)
 
     # ── 1b. silence strip (pipeline.py:93-104) ──────────────────────────────
+    # The src side defers its strip roll so it can fuse with the trim/align
+    # roll below (a full-signal dynamic roll is ~HBM-bound; 3 rolls → 2 on
+    # the default path).
     if cfg.strip_silence:
         nc, n_nc, nc_lead, nc_trail = jax.vmap(
             lambda y, n: _strip(y, n, cfg))(nc, n_nc)
-        src, n_src, src_lead, src_trail = jax.vmap(
-            lambda y, n: _strip(y, n, cfg))(src, n_src)
+        src_start, src_end = jax.vmap(
+            lambda y, n: energy.trim_bounds_y(y, n, cfg.silence_strip_db)
+        )(src, n_src)
+        src_lead, src_trail = src_start, n_src - src_end
+        n_src = src_end - src_start
     else:
         nc_lead = nc_trail = src_lead = src_trail = zeros_b
+        src_start = zeros_b
 
     # ── 1c. source trim: manual overrides auto (pipeline.py:106-127) ────────
     src_trim = jnp.clip(src_trim, 0, n_src)
     align_speed = jnp.ones(B)
     if auto_align:
+        src_stripped = jax.vmap(energy.roll_to_start)(src, src_start)
         raw_off, align_speed = jax.vmap(
             lambda s, m, ns_, nn_: align.find_content_offset(s, m, ns_, nn_, cfg)
-        )(src, nc, n_src, n_nc)
+        )(src_stripped, nc, n_src, n_nc)
         auto_samples = jnp.where(
             raw_off >= cfg.align_min_offset,
             (raw_off * cfg.sample_rate).astype(jnp.int32), 0)
         offset = jnp.where(src_trim > 0, src_trim, auto_samples)
     else:
         offset = src_trim
-    src = jax.vmap(energy.roll_to_start)(src, offset)
+    # single roll: strip start + manual/auto trim (roll composition is
+    # additive; the tail garbage is masked by the length bookkeeping)
+    src = jax.vmap(energy.roll_to_start)(src, src_start + offset)
     n_src = n_src - offset
 
     ys = jnp.stack([nc, src], axis=1)           # (B, 2, max_samples)

@@ -87,9 +87,21 @@ def trim_bounds(cs: jnp.ndarray, n: jnp.ndarray, top_db: float,
     return start.astype(jnp.int32), end.astype(jnp.int32)
 
 
-def roll_to_start(y: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+def roll_to_start(y: jnp.ndarray, start: jnp.ndarray,
+                  *, block: int | None = None) -> jnp.ndarray:
     """Shift the valid region to offset 0 (fixed-shape replacement for
-    ``y[start:]``); the tail keeps stale samples — callers mask by length."""
+    ``y[start:]``); the tail keeps stale samples — callers mask by length.
+
+    When the caller guarantees ``start`` is a multiple of ``block`` (the
+    silence-strip bounds are hop-multiples by construction) pass ``block``:
+    the roll becomes a 128-lane-aligned *block* gather over N/block rows
+    instead of an element gather over N samples — an order of magnitude
+    less index work on TPU."""
+    if block is not None and y.shape[-1] % block == 0:
+        nb = y.shape[-1] // block
+        yb = y.reshape(y.shape[:-1] + (nb, block))
+        idx = (jnp.arange(nb) + start // block) % nb
+        return jnp.take(yb, idx, axis=-2).reshape(y.shape)
     return jnp.roll(y, -start, axis=-1)
 
 
