@@ -93,15 +93,34 @@ def _kernel(views_ref, nused_ref, f2_ref, wr_ref, wi_ref, f1r_ref, f1i_ref,
     s = pl.program_id(0)
     j = pl.program_id(1)
     qb = pl.program_id(2)
+    n_s = pl.num_programs(0)
+    n_qb = pl.num_programs(2)
     f32 = jnp.float32
 
-    hr = seg_ref.shape[0]
-    dma = pltpu.make_async_copy(
-        views_ref.at[s, j, pl.ds(qb * _Q, hr), :], seg_ref, sem)
-    dma.start()
-    dma.wait()
+    # double-buffered DMA: program g waits on the slab g−1 prefetched and
+    # starts g+1's copy before computing (same protocol as the mel kernel)
+    hr = seg_ref.shape[1]
+    g = (s * 8 + j) * n_qb + qb
+    slot = jax.lax.rem(g, 2)
 
-    seg = seg_ref[:]                                      # (Q+24, 128)
+    def copy(sl, ss, jj, qq):
+        return pltpu.make_async_copy(
+            views_ref.at[ss, jj, pl.ds(qq * _Q, hr), :],
+            seg_ref.at[sl], sem.at[sl])
+
+    @pl.when(g == 0)
+    def _():
+        copy(slot, s, j, qb).start()
+
+    g1 = g + 1
+    @pl.when(g1 < n_s * 8 * n_qb)
+    def _():
+        copy(jax.lax.rem(g1, 2), g1 // (8 * n_qb),
+             jax.lax.rem(g1 // n_qb, 8), jax.lax.rem(g1, n_qb)).start()
+
+    copy(slot, s, j, qb).wait()
+
+    seg = seg_ref[slot]                                   # (Q+24, 128)
     xw = jnp.stack([seg[a:a + _Q] for a in range(_ROWS)]) * win_ref[:]
     g = jnp.dot(f2_ref[:], xw.reshape(_ROWS, _Q * _C),
                 preferred_element_type=f32, precision=_PREC).reshape(2 * _R, _Q, _C)
@@ -179,8 +198,8 @@ def mean_acf_batch(env: jnp.ndarray, n_used: jnp.ndarray, *,
         out_specs=pl.BlockSpec((1, 1, 1, _P, _C),
                                lambda s, j, q: (s, j, q, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((S, 8, n_qb, _P, _C), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((hr, _C), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, hr, _C), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
     )(views, nused2, *consts)
