@@ -141,25 +141,35 @@ def bootstrap_medians(key: jax.Array, vals: jnp.ndarray, mask: jnp.ndarray,
     live = jnp.arange(n_max)[None, :] < n_valid
     idx = jnp.where(live, idx, n_max + 1)
 
-    def kth_index(k):
-        """Per row: smallest j with #(idx <= j) >= k+1 (0-based k-th order
-        statistic of the drawn indices)."""
-        lo = jnp.zeros(n_boot, jnp.int32)
-        hi = jnp.full(n_boot, n_max - 1, jnp.int32)
+    def kth_index2(ka, kb):
+        """Per row: smallest j with #(idx <= j) >= k+1, for BOTH order
+        statistics in one bisect loop — the (n_boot, n_max) index matrix is
+        the traffic bottleneck, and one fused loop reads it once per
+        iteration for the two counts instead of twice."""
+        lo_a = lo_b = jnp.zeros(n_boot, jnp.int32)
+        hi_a = hi_b = jnp.full(n_boot, n_max - 1, jnp.int32)
         bits = max(1, int(np.ceil(np.log2(max(n_max, 2)))))
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = (lo + hi) // 2
-            cnt = jnp.sum(idx <= mid[:, None], axis=-1)
-            ge = cnt >= (k + 1)
-            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
-        lo, hi = jax.lax.fori_loop(0, bits, body, (lo, hi))
-        return lo
+
+        def body(_, st):
+            lo_a, hi_a, lo_b, hi_b = st
+            mid_a = (lo_a + hi_a) // 2
+            mid_b = (lo_b + hi_b) // 2
+            cnt_a = jnp.sum(idx <= mid_a[:, None], axis=-1)
+            cnt_b = jnp.sum(idx <= mid_b[:, None], axis=-1)
+            ge_a = cnt_a >= (ka + 1)
+            ge_b = cnt_b >= (kb + 1)
+            return (jnp.where(ge_a, lo_a, mid_a + 1),
+                    jnp.where(ge_a, mid_a, hi_a),
+                    jnp.where(ge_b, lo_b, mid_b + 1),
+                    jnp.where(ge_b, mid_b, hi_b))
+
+        lo_a, _, lo_b, _ = jax.lax.fori_loop(
+            0, bits, body, (lo_a, hi_a, lo_b, hi_b))
+        return lo_a, lo_b
 
     k_lo = jnp.maximum(n_valid - 1, 0) // 2
     k_hi = jnp.maximum(n_valid - 1, 0) - k_lo
-    j1 = kth_index(k_lo)
-    j2 = jnp.where(k_hi == k_lo, j1, kth_index(k_hi))
+    j1, j2 = kth_index2(k_lo, k_hi)
     med = 0.5 * (jnp.take(sorted_vals, jnp.clip(j1, 0, n_max - 1)) +
                  jnp.take(sorted_vals, jnp.clip(j2, 0, n_max - 1)))
     return jnp.where(n_valid > 0, med, jnp.nan)
