@@ -19,7 +19,8 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from ..config import AnalyzerConfig, DEFAULT_CONFIG, bucket_for_duration
+from ..config import AnalyzerConfig, DEFAULT_CONFIG, bucket_for_duration, \
+    truncation_warning
 from ..signal.io import load_audio, WINDOW_SEC, HOP_SEC, \
     ENERGY_GATE_DB, SILENCE_STRIP_DB
 from .consensus import result_from_pair_analysis
@@ -48,6 +49,9 @@ def analyze_arrays(nc_audio: np.ndarray, src_audio: np.ndarray,
     max_dur = max(len(nc_audio), len(src_audio)) / sr
     bucket = bucket_for_duration(max_dur)
     cfg = cfg.replace(max_duration_sec=bucket)
+    trunc_warn = truncation_warning(max_dur, bucket)
+    if trunc_warn:
+        _log(f"WARNING: {trunc_warn}")
 
     def pad(y):
         buf = np.zeros(cfg.max_samples, np.float32)
@@ -71,6 +75,8 @@ def analyze_arrays(nc_audio: np.ndarray, src_audio: np.ndarray,
         _np.asarray(pa.tempo_ratio)          # materialize = wait for device
     with timer.stage("consensus"):
         result = result_from_pair_analysis(pa, cfg, compute_pitch=compute_pitch)
+    if trunc_warn:
+        result.warnings.insert(0, trunc_warn)
     timer.report()
     return result, pa
 

@@ -21,6 +21,7 @@ import argparse
 import csv
 import gc
 import json
+import os
 import sys
 import time
 from collections import defaultdict
@@ -29,7 +30,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..config import DEFAULT_CONFIG, bucket_for_duration
+from ..config import DEFAULT_CONFIG, bucket_for_duration, truncation_warning
 from .corpus import CorpusAnalyzer
 
 __all__ = ["main", "analyze_manifest"]
@@ -52,14 +53,28 @@ def read_manifest(path: Path) -> List[Tuple[str, str, float]]:
     return rows
 
 
-def _decode_batch(entries, cfg, load_audio, log):
-    """Decode + pack one batch of manifest entries.
+def _decode_workers() -> int:
+    """Decode thread count: ``NCFA_DECODE_THREADS`` env or one per core
+    (capped at 8 — decode is the streaming driver's bottleneck on real
+    files, 16-36 s/batch vs ~2 s device compute in CORPUS_1K; the ctypes
+    codec calls release the GIL and the native error state is
+    thread_local, so threads scale on multi-core production hosts)."""
+    env = os.environ.get("NCFA_DECODE_THREADS", "")
+    if env.strip():
+        return max(1, int(env))
+    return min(8, os.cpu_count() or 1)
+
+
+def _decode_batch(entries, cfg, load_audio, log, workers: int | None = None):
+    """Decode (thread pool) + pack one batch of manifest entries.
 
     Returns (PairBuffers, metas) where ``metas`` is a list of
-    ``(idx, nc_path, src_path, error_or_None)`` aligned with buffer rows.
-    Decode failures zero their row and clear its mask bit so the device
-    program skips it (per-pair error records, SURVEY §5 failure handling).
+    ``(idx, nc_path, src_path, error_or_None, truncated_sec)`` aligned with
+    buffer rows.  Decode failures zero their row and clear its mask bit so
+    the device program skips it (per-pair error records, SURVEY §5 failure
+    handling).
     """
+    from concurrent.futures import ThreadPoolExecutor
     from .corpus import PairBuffers, pack_pair
     B = len(entries)
     bufs = PairBuffers(
@@ -69,21 +84,40 @@ def _decode_batch(entries, cfg, load_audio, log):
         n_src=np.zeros(B, np.int32),
         src_trim=np.zeros(B, np.int32),
         mask=np.ones(B, bool))
-    metas = []
-    for i, (idx, nc_path, src_path, trim) in enumerate(entries):
+
+    def decode_one(entry):
+        _idx, nc_path, src_path, _trim = entry
         try:
-            nc, sr = load_audio(nc_path)
+            nc, _sr = load_audio(nc_path)
             src, _ = load_audio(src_path)
+            return np.asarray(nc), np.asarray(src), None
         except Exception as exc:                       # noqa: BLE001
+            return None, None, f"decode failed: {exc}"
+
+    n_workers = workers if workers is not None else _decode_workers()
+    if n_workers > 1 and B > 1:
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            decoded = list(ex.map(decode_one, entries))
+    else:
+        decoded = [decode_one(e) for e in entries]
+
+    metas = []
+    for i, ((idx, nc_path, src_path, trim), (nc, src, err)) in enumerate(
+            zip(entries, decoded)):
+        if err is not None:
             bufs.mask[i] = False
-            metas.append((idx, nc_path, src_path, f"decode failed: {exc}"))
-            log(f"  [{idx}] decode failed: {exc}")
+            metas.append((idx, nc_path, src_path, err, 0.0))
+            log(f"  [{idx}] {err}")
             continue
-        bnc, n_nc, bsrc, n_src = pack_pair(np.asarray(nc), np.asarray(src), cfg)
+        bnc, n_nc, bsrc, n_src, trunc = pack_pair(nc, src, cfg)
         bufs.nc[i], bufs.n_nc[i] = bnc, n_nc
         bufs.src[i], bufs.n_src[i] = bsrc, n_src
         bufs.src_trim[i] = int(trim * cfg.sample_rate)
-        metas.append((idx, nc_path, src_path, None))
+        if trunc > 0:
+            log(f"  [{idx}] WARNING: input exceeds the "
+                f"{cfg.max_duration_sec:.0f}s bucket by {trunc:.1f}s — "
+                "tail not analyzed")
+        metas.append((idx, nc_path, src_path, None, trunc))
     return bufs, metas
 
 
@@ -191,7 +225,8 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                     f" ({len(cur_metas)} pairs) in {time.time() - t0:.1f}s "
                     f"(mean tempo "
                     f"{float(np.asarray(stats.mean_tempo_ratio)):.4f})")
-                for (idx, nc_path, src_path, err), r in zip(cur_metas, results):
+                for (idx, nc_path, src_path, err, trunc), r in zip(
+                        cur_metas, results):
                     rec = {"files": {"nightcore": nc_path,
                                      "source": src_path}}
                     if err is not None:
@@ -201,6 +236,10 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                         rec["error"] = r
                         n_fail += 1
                     else:
+                        if trunc > 0:
+                            r.warnings.insert(0, truncation_warning(
+                                cfg.max_duration_sec + trunc,
+                                cfg.max_duration_sec))
                         rec.update(export.to_dict(r))
                         n_ok += 1
                     emit(rec)

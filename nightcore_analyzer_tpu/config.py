@@ -22,7 +22,8 @@ import dataclasses
 import math
 from functools import cached_property
 
-__all__ = ["AnalyzerConfig", "DEFAULT_CONFIG", "bucket_for_duration"]
+__all__ = ["AnalyzerConfig", "DEFAULT_CONFIG", "bucket_for_duration",
+           "truncation_warning"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -264,8 +265,26 @@ class AnalyzerConfig:
 DEFAULT_CONFIG = AnalyzerConfig()
 
 #: Duration buckets (seconds).  A pair is analyzed in the smallest bucket that
-#: fits both files; each bucket is a separate XLA compilation (cached).
-DURATION_BUCKETS = (30.0, 60.0, 120.0, 180.0, 240.0, 300.0, 420.0, 600.0)
+#: fits both files; each bucket is a separate XLA compilation (cached).  The
+#: 900 s tier covers extended mixes (the reference analyzes any length,
+#: ``io.py:44-55``); anything beyond the last bucket is truncated WITH an
+#: explicit warning (see ``truncation_warning``), never silently.
+DURATION_BUCKETS = (30.0, 60.0, 120.0, 180.0, 240.0, 300.0, 420.0, 600.0,
+                    900.0)
+
+
+def truncation_warning(duration_sec: float, bucket_sec: float):
+    """Warning string when ``duration_sec`` exceeds the analysis bucket, else
+    ``None``.  Every entry point (CLI/workflow/GUI via ``analyze_arrays``,
+    the batch driver, ``CorpusAnalyzer.analyze_pairs``) attaches this to the
+    result so a long tail is never dropped invisibly."""
+    if duration_sec <= bucket_sec + 1e-6:
+        return None
+    return (f"Input is {duration_sec:.1f}s but the analysis covers only the "
+            f"first {bucket_sec:.0f}s — {duration_sec - bucket_sec:.1f}s of "
+            "audio was NOT analyzed.  Ratios describe the analyzed span "
+            "only; if the two files are different edits the duration-based "
+            "checks may be unreliable.")
 
 
 def bucket_for_duration(duration_sec: float, buckets=DURATION_BUCKETS) -> float:

@@ -116,8 +116,9 @@ class PairAnalysis(NamedTuple):
 
 def _strip(y, n, cfg: AnalyzerConfig):
     start, end = energy.trim_bounds_y(y, n, cfg.silence_strip_db)
-    # trim starts are multiples of the 512 trim hop → block roll
-    y2 = energy.roll_to_start(y, start, block=512)
+    # trim starts are multiples of the trim hop → block roll (shared
+    # constant: a hop change can't silently desync the block size)
+    y2 = energy.roll_to_start(y, start, block=energy.TRIM_HOP)
     return y2, end - start, start, n - end
 
 

@@ -21,9 +21,16 @@ import jax.numpy as jnp
 from ..config import AnalyzerConfig
 from .stats import masked_max
 
-__all__ = ["energy_cumsum", "energy_cumsum_grid", "frame_rms_power",
-           "trim_bounds", "trim_bounds_y", "window_energies_db",
-           "window_energies_db_y", "energy_gate_mask", "roll_to_start"]
+__all__ = ["TRIM_HOP", "energy_cumsum", "energy_cumsum_grid",
+           "frame_rms_power", "trim_bounds", "trim_bounds_y",
+           "window_energies_db", "window_energies_db_y", "energy_gate_mask",
+           "roll_to_start"]
+
+#: Frame hop of the silence-trim scan (librosa ``effects.trim`` default).
+#: Trim start bounds are always multiples of this, which is what licenses
+#: the ``block=TRIM_HOP`` fast path in :func:`roll_to_start` — callers must
+#: pass this constant (not a literal) so the two can never desync.
+TRIM_HOP = 512
 
 
 def energy_cumsum(y: jnp.ndarray) -> jnp.ndarray:
@@ -51,7 +58,7 @@ def energy_cumsum_grid(y: jnp.ndarray, block: int) -> jnp.ndarray:
 
 
 def frame_rms_power(cs: jnp.ndarray, n: jnp.ndarray, *, frame_length: int = 2048,
-                    hop: int = 512, n_frames: int | None = None) -> jnp.ndarray:
+                    hop: int = TRIM_HOP, n_frames: int | None = None) -> jnp.ndarray:
     """Centered frame mean-square power (librosa ``feature.rms``²).
 
     ``cs``: energy cumsum; ``n``: valid sample count.  Returns (n_frames,)
@@ -68,7 +75,7 @@ def frame_rms_power(cs: jnp.ndarray, n: jnp.ndarray, *, frame_length: int = 2048
 
 
 def trim_bounds(cs: jnp.ndarray, n: jnp.ndarray, top_db: float,
-                *, frame_length: int = 2048, hop: int = 512):
+                *, frame_length: int = 2048, hop: int = TRIM_HOP):
     """(start_sample, end_sample) of the non-silent span (librosa trim)."""
     N = cs.shape[-1] - 1
     n_frames = 1 + N // hop
@@ -125,7 +132,7 @@ def energy_gate_mask(energies_db: jnp.ndarray, valid: jnp.ndarray,
 
 
 def trim_bounds_y(y: jnp.ndarray, n: jnp.ndarray, top_db: float,
-                  *, frame_length: int = 2048, hop: int = 512):
+                  *, frame_length: int = 2048, hop: int = TRIM_HOP):
     """:func:`trim_bounds` taking the signal directly; grid prefix sums.
 
     Exact (not approximate): frame edges ``t·hop ± frame_length/2`` are

@@ -204,7 +204,13 @@ def f0_features(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
         M = jnp.concatenate([jnp.take(m_lo, perm_lo, axis=0),
                              jnp.take(m_hi, perm_hi, axis=0)], axis=-1)
         fidx = base + local
-        valid = (fidx * hop + n_fft <= n_samples) & (fidx < F)
+        # a frame is valid only if BOTH streams' windows lie inside the
+        # signal: the high stream covers [fidx·hop, fidx·hop + n_fft), the
+        # 4×-longer low window is centered on the same point and extends to
+        # fidx·hop + n_fft/2 + 2·n_fft — without the second bound the last
+        # ~3 frames fold stale rolled-tail audio into the low-frequency bins
+        valid = ((fidx * hop + n_fft // 2 + 2 * n_fft <= n_samples)
+                 & (fidx < F))
         Mv = jnp.where(valid[:, None], M, 0.0)
         spec_sum = spec_sum + onehot.T @ Mv            # (C, n_spec)
         cnt = cnt + onehot.T @ valid.astype(jnp.float32)
@@ -245,6 +251,11 @@ def spectral_shift_st(spec_src: jnp.ndarray, spec_nc: jnp.ndarray,
     bpo = cfg.f0_bins_per_octave
     L = int(round(cfg.pitch_refine_max_st * bpo / 12.0))
     N = spec_src.shape[-1]
+    if L >= N:  # cs_s[N-1-a] would wrap via negative indexing
+        raise ValueError(
+            f"pitch_refine_max_st span ({L} bins) must be < the spectrum "
+            f"grid ({N} bins); lower pitch_refine_max_st or raise "
+            "f0_spec_max_hz")
     pad_nc = jnp.pad(spec_nc, (L, L))
     idx = jnp.arange(2 * L + 1)[:, None] + jnp.arange(N)[None, :]
     nc_mat = jnp.take(pad_nc, idx)              # row r: nc[k + (r − L)]
