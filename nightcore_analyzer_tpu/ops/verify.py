@@ -2,13 +2,31 @@
 
 Device rebuild of ``xcorr.estimate_speed_xcorr`` (reference ``xcorr.py:54-162``):
 for ≈same-speed pairs, sample 20 evenly spaced 3 s windows from file A, search
-file B within ±5 % of the expected position at stride win/4 maximizing cosine
-similarity, fit a line through the (a_pos, b_pos) correspondences → slope =
-speed_A / speed_B; quality = median per-window cosine ∈ [0, 1].
+file B within ±5 % of the expected position maximizing cosine similarity, fit
+a line through the (a_pos, b_pos) correspondences → slope = speed_A / speed_B;
+quality = median per-window cosine ∈ [0, 1].
 
-The reference's Python double loop (20 windows × candidates, SURVEY §2.3)
-becomes a scan over windows with the candidate dot-products batched as one
-matrix-vector product per window.
+Precision upgrades over the reference (same output contract, documented
+deviations):
+
+* **Exhaustive sample-resolution search.**  The reference evaluates only
+  every ``win/4`` ≈ 0.75 s-th candidate position, anchored at
+  ``expected - search`` (``xcorr.py:131-144``) — raw-waveform cosine decays
+  to noise within a few milliseconds of misalignment, so whether ANY
+  candidate lands near true alignment is a phase accident of
+  ``search % stride``; quality scores were luck and fitted slopes carried
+  ~±2 % position-quantization noise.  Here each window is cross-correlated
+  against the ENTIRE ±5 % search span at every lag via one FFT, with
+  per-lag overlap-energy normalization (exact cosine, no zero-padding
+  bias).  Correspondences come back sample-exact, bounding the slope by
+  the resampler's interpolation error instead — usable directly by the
+  workflow's residual-factor correction loop.  One rfft pair per window on
+  the MXU-fed TPU FFT replaces the reference's 13-point subsample; it is
+  strictly more search, not less.
+* **Theil-Sen slope.**  The reference's least-squares polyfit
+  (``xcorr.py:159``) is pulled off by a single beat-period-aligned outlier
+  window (periodic music is self-similar one beat over); the median of
+  pairwise slopes ignores up to ~29 % outliers.
 """
 
 from __future__ import annotations
@@ -18,12 +36,12 @@ import jax.numpy as jnp
 
 from ..config import AnalyzerConfig
 
-__all__ = ["estimate_speed_xcorr_arrays", "max_candidates"]
+__all__ = ["estimate_speed_xcorr_arrays", "search_radius"]
 
 
-def max_candidates(cfg: AnalyzerConfig) -> int:
-    stride = max(1, cfg.xcorr_win_samples // 4)
-    return int(2 * cfg.xcorr_search_range * cfg.max_samples / stride) + 2
+def search_radius(cfg: AnalyzerConfig) -> int:
+    """Static worst-case search radius in samples (±5 % of the bucket)."""
+    return int(cfg.xcorr_search_range * cfg.max_samples)
 
 
 def estimate_speed_xcorr_arrays(ya: jnp.ndarray, yb: jnp.ndarray,
@@ -31,8 +49,6 @@ def estimate_speed_xcorr_arrays(ya: jnp.ndarray, yb: jnp.ndarray,
                                 cfg: AnalyzerConfig):
     """Returns ``(ratio, quality)``; ``(1.0, 0.0)`` when < 3 correspondences."""
     win = cfg.xcorr_win_samples
-    stride = max(1, win // 4)
-    n_cand = max_candidates(cfg)
     n_win = cfg.xcorr_n_windows
 
     min_len = jnp.minimum(n_a, n_b)
@@ -47,7 +63,13 @@ def estimate_speed_xcorr_arrays(ya: jnp.ndarray, yb: jnp.ndarray,
     a_pos = (jnp.linspace(0.0, 1.0, n_win) *
              jnp.maximum(len_a - win, 0)).astype(jnp.int32)
 
-    local = jnp.arange(win)
+    # static search geometry: the segment [expected - R, expected + win + R)
+    # of B covers every candidate lag in the dynamic ±search span
+    R = search_radius(cfg)
+    seg_len = win + 2 * R
+    L = 1 << (seg_len - 1).bit_length()
+    N = yb.shape[-1]
+    lag_idx = jnp.arange(2 * R + 1)
 
     def one_window(_, pa):
         wa = jax.lax.dynamic_slice(ya, (s + pa,), (win,))
@@ -59,20 +81,22 @@ def estimate_speed_xcorr_arrays(ya: jnp.ndarray, yb: jnp.ndarray,
         lo = jnp.maximum(0, expected - search)
         hi = jnp.minimum(len_b - win, expected + search)
 
-        starts = lo + jnp.arange(n_cand) * stride
-        cand_ok = starts < hi
-        starts_c = jnp.clip(starts, 0, jnp.maximum(len_b - win, 0))
-        idx = s + starts_c[:, None] + local[None, :]
-        wb = jnp.take(yb, idx, axis=0, mode="clip")        # (n_cand, win)
-        norms_b = jnp.linalg.norm(wb, axis=-1)
-        dots = wb @ wa
-        cos = jnp.where((norms_b > 1e-10) & cand_ok,
-                        dots / (jnp.maximum(norm_a, 1e-10) *
-                                jnp.maximum(norms_b, 1e-10)),
+        st = jnp.clip(s + expected - R, 0, jnp.maximum(N - seg_len, 0))
+        seg = jax.lax.dynamic_slice(yb, (st,), (seg_len,))
+        fa = jnp.fft.rfft(wa, n=L)
+        fs = jnp.fft.rfft(seg, n=L)
+        corr = jnp.fft.irfft(jnp.conj(fa) * fs, n=L)[:2 * R + 1]
+        cs = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg * seg)])
+        e_b = cs[lag_idx + win] - cs[lag_idx]
+        pb = st + lag_idx - s                   # candidate positions in B
+        lag_ok = (pb >= lo) & (pb <= hi)
+        cos = jnp.where((e_b > 1e-20) & lag_ok,
+                        corr / (jnp.maximum(norm_a, 1e-10) *
+                                jnp.sqrt(jnp.maximum(e_b, 1e-20))),
                         -jnp.inf)
         k = jnp.argmax(cos)
         best_corr = cos[k]
-        best_pb = starts_c[k]
+        best_pb = pb[k]
 
         valid = (long_enough & (rms_a >= cfg.xcorr_rms_gate) &
                  (norm_a >= 1e-10) & (lo < hi) &
@@ -83,15 +107,17 @@ def estimate_speed_xcorr_arrays(ya: jnp.ndarray, yb: jnp.ndarray,
     _, (pas, pbs, quals, valids) = jax.lax.scan(one_window, None, a_pos)
 
     n_ok = jnp.sum(valids)
-    w = valids.astype(jnp.float32)
-    wsum = jnp.maximum(n_ok, 1)
-    a_mean = jnp.sum(pas * w) / wsum
-    b_mean = jnp.sum(pbs * w) / wsum
-    cov = jnp.sum(w * (pas - a_mean) * (pbs - b_mean))
-    var = jnp.sum(w * (pas - a_mean) ** 2)
-    slope = jnp.where(var > 0, cov / jnp.maximum(var, 1e-20), 1.0)
-
+    # Theil-Sen: median of pairwise slopes over well-separated valid pairs
+    da = pas[None, :] - pas[:, None]
+    db = pbs[None, :] - pbs[:, None]
+    pair_ok = (valids[None, :] & valids[:, None] &
+               (jnp.abs(da) > 0.5 * float(win)))
+    slopes = db / jnp.where(jnp.abs(da) > 1e-3, da, 1.0)
     from .stats import masked_median
+    iu = jnp.triu_indices(n_win, k=1)
+    slope_ts = masked_median(slopes[iu], pair_ok[iu])
+    slope = jnp.where(jnp.sum(pair_ok[iu]) > 0, slope_ts, 1.0)
+
     quality = masked_median(quals, valids)
 
     ok = n_ok >= 3

@@ -41,7 +41,8 @@ def click_track(bpm: float, duration: float, sr: int = 22050,
 def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
                root_hz: float = 220.0, seed: int = 0,
                chord_bars: float = 2.0,
-               tempo_drift: float = 0.0) -> np.ndarray:
+               tempo_drift: float = 0.0,
+               accent_jitter: float = 0.0) -> np.ndarray:
     """Music-like signal: chord pad (root + harmonics over a small chord
     progression) amplitude-pulsed on the beat, plus percussive clicks and a
     bass line.  Has enough spectral flux for onset/beat tracking and enough
@@ -52,7 +53,13 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
     always carry some drift; it dithers the analyzers' frame/lag grids the
     way real music does, whereas a mathematically constant tempo makes every
     window snap to the same quantized BPM (the degenerate-CI case the
-    reference documents, consensus.py:472-500)."""
+    reference documents, consensus.py:472-500).
+
+    ``accent_jitter`` varies each beat's click amplitude and brightness by
+    that relative amount (seeded).  A zero value renders every beat
+    identically — pathologically self-similar for waveform matching
+    (any ±1-beat lag correlates as well as the true one); real music has
+    fills and accents, which this emulates for the xcorr-verifier checks."""
     rng = np.random.default_rng(seed)
     n = int(duration * sr)
     t = np.arange(n) / sr
@@ -85,10 +92,14 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
 
     # percussive clicks at the (possibly drifting) beat grid
     t_click = np.arange(int(0.03 * sr)) / sr
-    burst = 2.0 * (np.exp(-t_click / 0.008) *
-                   np.sin(2 * np.pi * 2500.0 * t_click))
     starts = np.flatnonzero(np.diff(np.floor(beat_phase_abs)) > 0) + 1
-    for s in starts:
+    for bi, s in enumerate(starts):
+        amp, hz = 2.0, 2500.0
+        if accent_jitter:
+            amp *= 1.0 + accent_jitter * float(rng.uniform(-1.0, 1.0))
+            hz *= 1.0 + 0.3 * accent_jitter * float(rng.uniform(-1.0, 1.0))
+        burst = amp * (np.exp(-t_click / 0.008) *
+                       np.sin(2 * np.pi * hz * t_click))
         e = min(n, s + len(burst))
         y[s:e] += burst[:e - s]
 

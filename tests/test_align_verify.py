@@ -47,13 +47,11 @@ def test_xcorr_verify_same_speed():
     ya, na = _pad(a)
     yb, nb = _pad(y)
     ratio, quality = fn(ya, na, yb, nb)
-    # candidate positions are quantized to stride win/4 (xcorr.py:113),
-    # bounding slope precision to ~±2% — advisory only, like the reference
-    assert float(ratio) == pytest.approx(1.0, abs=0.02)
-    # quality depends on how close the stride grid lands to true alignment
-    # (constant per pair — reference xcorr.py:113-147 has the same property);
-    # the slope is robust to the constant offset, the quality score varies
-    assert 0.0 < float(quality) <= 1.0
+    # the exhaustive FFT search (round 3) finds the exact alignment: slope
+    # sample-exact, quality ≈ the windows' true cosine (≈1 here, the two
+    # renditions differ only by 1% additive noise)
+    assert float(ratio) == pytest.approx(1.0, abs=1e-4)
+    assert float(quality) > 0.9
 
 
 def test_xcorr_verify_speed_offset():
@@ -65,8 +63,12 @@ def test_xcorr_verify_speed_offset():
     ya, na = _pad(y)
     yb, nb = _pad(b)
     ratio, quality = fn(ya, na, yb, nb)
-    # file B runs 2% faster → its positions advance ~2% more slowly
-    assert float(ratio) == pytest.approx(1.0 / 1.02, abs=0.04)
+    # file B runs 2% faster → its positions advance ~2% more slowly.
+    # A 2% residual drifts content ~60 ms across each 3 s window, far past
+    # a pitch period, so per-window peaks can lock to beat-aligned lags —
+    # the Theil-Sen fit keeps the slope usable even so (the reference's
+    # quality gate would flag this pair as low-confidence, correctly)
+    assert float(ratio) == pytest.approx(1.0 / 1.02, abs=0.02)
 
 
 def test_xcorr_verify_silent_returns_sentinel():
