@@ -72,11 +72,16 @@ def _consts(sr: int, n_mels: int):
     """numpy constants (NOT jnp — this cache is shared across jit traces).
 
     F2cat (32,16): [Re;Im] of the 16-point DFT.
-    K2 (16,256,256): stage-2 weights with twiddle folded, K-stacked so
-      P = [G_r | G_i] · K2[r] = [Re(X) | Im(X)]  (one K=256 matmul/group).
-    MelP2 (2048,128): mel fold over all groups at once — row r·128+c holds
-      mel weights of bin k = 16c+r (k>1024 rows zero), matching the
-      lane-concatenated |X|² layout the core builds.
+    K2 (16,256,128): stage-2 weights with twiddle folded, restricted to the
+      non-conjugate half: only bins k = 16c+r with c < 64 (k ≤ 1023) carry
+      mel weight — bin 1024's last-triangle weight is exactly 0 and
+      k > 1024 mirrors k' = 2048-k — so each group needs just 64 spectral
+      columns, and [Re(c<64) | Im(c<64)] packs exactly one 128-lane block:
+      P = [G_r | G_i] · K2[r] = [Re(X_{c<64}) | Im(X_{c<64})].  Halves the
+      stage-2 and mel-fold MACs vs the full-spectrum form (round-2 left
+      this on the table believing 128-lane granularity blocked it).
+    MelP2 (1024,128): mel fold — row r·64+c holds mel weights of bin
+      k = 16c+r, matching the lane-concatenated |X|² layout.
     w (16,1,128): Hann window over n = 128a+b.
     """
     a = np.arange(_R)
@@ -87,18 +92,17 @@ def _consts(sr: int, n_mels: int):
     F1 = np.exp(-2j * np.pi * np.outer(b, c) / _C)
     W = np.exp(-2j * np.pi * np.outer(r, b) / _N_FFT)
     M = W[:, :, None] * F1[None, :, :]                    # (r, b, c)
-    K2a = np.concatenate([M.real, M.imag], axis=2)        # (r, 128, 256)
-    K2b = np.concatenate([-M.imag, M.real], axis=2)
-    K2 = np.concatenate([K2a, K2b], axis=1)               # (r, 256, 256)
+    Mh_re, Mh_im = M.real[:, :, :_C // 2], M.imag[:, :, :_C // 2]
+    K2a = np.concatenate([Mh_re, Mh_im], axis=2)          # (r, 128, 128)
+    K2b = np.concatenate([-Mh_im, Mh_re], axis=2)
+    K2 = np.concatenate([K2a, K2b], axis=1)               # (r, 256, 128)
     F2cat = np.concatenate([F2.real, F2.imag], axis=0)    # (32, 16)
 
     mel = filters.mel_filterbank(sr, _N_FFT, n_mels)      # (m, bins)
-    melp2 = np.zeros((_R * _C, 128), np.float32)
+    melp2 = np.zeros((_R * _C // 2, 128), np.float32)
     for rr in range(_R):
-        for cc in range(_C):
-            k = 16 * cc + rr
-            if k <= _N_FFT // 2:
-                melp2[rr * _C + cc, :n_mels] = mel[:, k]
+        for cc in range(_C // 2):
+            melp2[rr * (_C // 2) + cc, :n_mels] = mel[:, 16 * cc + rr]
 
     w = filters.hann(_N_FFT).astype(np.float32).reshape(_R, 1, _C)
     return (F2cat.astype(np.float32), K2.astype(np.float32), melp2, w)
@@ -114,21 +118,23 @@ def _const_args(sr: int, n_mels: int):
 def _const_specs():
     """BlockSpecs for the constant operands (shared by all three kernels)."""
     return [pl.BlockSpec((2 * _R, _R), lambda *ids: (0, 0)),
-            pl.BlockSpec((_R, 2 * _C, 2 * _C), lambda *ids: (0, 0, 0)),
-            pl.BlockSpec((_R * _C, 128), lambda *ids: (0, 0)),
+            pl.BlockSpec((_R, 2 * _C, _C), lambda *ids: (0, 0, 0)),
+            pl.BlockSpec((_R * _C // 2, 128), lambda *ids: (0, 0)),
             pl.BlockSpec((_R, 1, _C), lambda *ids: (0, 0, 0))]
 
 
 def _fft_mel_core(xt, f2_ref, k2_ref, melp2_ref, w_ref):
     """(16, rows, 128) f32 frames → (rows, 128) f32 mel power (in VMEM).
 
-    Stage 2 runs one K=256 matmul per radix group ([G_r|G_i]·K2[r]); the
-    mel fold is a single K=2048 matmul over the lane-concatenated |X|² of
-    all 16 groups — deeper contractions keep the MXU pipeline full vs the
-    32 K=128 matmuls + 16 accumulating folds this replaces.
+    Stage 2 runs one (rows,256)@(256,128) matmul per radix group
+    ([G_r|G_i]·K2[r] → [Re|Im] of the 64 non-conjugate bins); the mel fold
+    is a single K=1024 matmul over the lane-concatenated |X|² of all 16
+    groups — deep contractions keep the MXU pipeline full, and the
+    conjugate-half restriction halves both stages' MACs.
     """
     rows = xt.shape[1]
     bf = jnp.bfloat16
+    h = _C // 2
     xw = (xt * w_ref[:]).astype(bf)
     g = jnp.dot(f2_ref[:], xw.reshape(_R, rows * _C),
                 preferred_element_type=jnp.float32).astype(bf)
@@ -137,9 +143,9 @@ def _fft_mel_core(xt, f2_ref, k2_ref, melp2_ref, w_ref):
     for r in range(_R):                       # static unroll: 16 radix groups
         gcat = jnp.concatenate([g[r], g[_R + r]], axis=1)      # (rows, 256)
         p = jnp.dot(gcat, k2_ref[r], preferred_element_type=jnp.float32)
-        pr, pi = p[:, :_C], p[:, _C:]
-        mags.append((pr * pr + pi * pi).astype(bf))
-    mag_all = jnp.concatenate(mags, axis=1)                    # (rows, 2048)
+        pr, pi = p[:, :h], p[:, h:]
+        mags.append((pr * pr + pi * pi).astype(bf))            # (rows, 64)
+    mag_all = jnp.concatenate(mags, axis=1)                    # (rows, 1024)
     return jnp.dot(mag_all, melp2_ref[:],
                    preferred_element_type=jnp.float32)
 

@@ -33,9 +33,14 @@ def run_alignment_check(duration: float = 95.0, *, report=print) -> dict:
     factors = [1.18, 1.22, 1.25, 1.30]
     pairs = []
     for i, (intro_sec, factor) in enumerate(zip(intros, factors)):
+        # accent_jitter + short chord cycle: perfectly bar-repetitive
+        # material is self-similar at the progression period (~15 s), and
+        # RMS-envelope alignment legitimately locks a cycle off on it
+        # (real music varies; the tiny-config test documents the same)
         core = synth.music_like(duration, sr, bpm=[122.0, 128.0, 140.0,
                                                    150.0][i],
-                                seed=500 + i, tempo_drift=0.008)
+                                seed=500 + i, tempo_drift=0.008,
+                                chord_bars=0.5, accent_jitter=0.7)
         # content intro the nightcore rip lacks: different material, softer
         intro = 0.6 * synth.music_like(intro_sec, sr, bpm=92.0,
                                        root_hz=174.6, seed=900 + i)
@@ -53,6 +58,7 @@ def run_alignment_check(duration: float = 95.0, *, report=print) -> dict:
         off_errs.append(abs(off - intro_sec))
         reg_errs.append(abs(r.ibi_regression_ratio / factor - 1.0) * 100)
     out = {
+        "offset_errs_ms": [round(1000 * e, 1) for e in off_errs],
         "offset_max_err_ms": round(1000 * max(off_errs), 1),
         "reg_max_err_pct_with_align": round(max(reg_errs), 5),
     }

@@ -42,7 +42,8 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
                root_hz: float = 220.0, seed: int = 0,
                chord_bars: float = 2.0,
                tempo_drift: float = 0.0,
-               accent_jitter: float = 0.0) -> np.ndarray:
+               accent_jitter: float = 0.0,
+               section_gains: float = 0.0) -> np.ndarray:
     """Music-like signal: chord pad (root + harmonics over a small chord
     progression) amplitude-pulsed on the beat, plus percussive clicks and a
     bass line.  Has enough spectral flux for onset/beat tracking and enough
@@ -59,7 +60,13 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
     that relative amount (seeded).  A zero value renders every beat
     identically — pathologically self-similar for waveform matching
     (any ±1-beat lag correlates as well as the true one); real music has
-    fills and accents, which this emulates for the xcorr-verifier checks."""
+    fills and accents, which this emulates for the xcorr-verifier checks.
+
+    ``section_gains`` adds verse/chorus-like macro loudness structure:
+    ~7 s sections with per-section gain 1 ± that relative amount (seeded,
+    0.5 s crossfades).  RMS-envelope alignment (auto-align) fundamentally
+    keys on such macro structure — a structureless constant-loudness
+    loop gives every candidate (speed, lag) the same flat correlation."""
     rng = np.random.default_rng(seed)
     n = int(duration * sr)
     t = np.arange(n) / sr
@@ -106,6 +113,16 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
     # bass on the beat
     fbass = root_hz / 2.0 * 2.0 ** (np.take(prog, chord_idx) / 12.0)
     y += 0.15 * np.sin(2 * np.pi * np.cumsum(fbass) / sr) * env
+
+    if section_gains:
+        sec = 7.3                      # seconds; off the beat/bar grid
+        n_sec = int(duration / sec) + 2
+        gains = 1.0 + section_gains * rng.uniform(-1.0, 1.0, size=n_sec)
+        knots_t, knots_g = [0.0], [gains[0]]
+        for si in range(1, n_sec):
+            knots_t += [si * sec - 0.25, si * sec + 0.25]
+            knots_g += [gains[si - 1], gains[si]]
+        y *= np.interp(t, knots_t, knots_g)
 
     y += 0.003 * rng.normal(size=n)
     y /= np.max(np.abs(y)) * 1.25
