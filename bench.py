@@ -48,10 +48,13 @@ def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
     classification — the tool's top-line output — was never asserted at
     production scale):
 
-    * ``independent_pitch_shift``: the source re-rendered with a +2 st
+    * ``independent_pitch_shift``: the source re-rendered with a +1 st
       transposed root, then speed-shifted — identical beat timeline to the
       pure case (same seed/bpm/drift), so tempo/IBI precision assertions
       still apply, but the net pitch shift exceeds the tempo-implied one.
+      (+1 st keeps every total shift inside chroma's inherent ±6 st
+      circular window — 36 bins mod one octave, reference pitch.py:67-85;
+      +2 st at factor 1.30 lands at 6.55 st and aliases to −5.3.)
     * ``time_stretch_only``: an independent render at bpm×factor over
       duration/factor with the same root — tempo ratio = factor, pitch
       ratio = 1.  Independent beat phases → excluded from the 0.01 %
@@ -59,7 +62,7 @@ def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
     """
     from nightcore_analyzer_tpu.utils import synth
     pairs, factors, conds = [], [], []
-    ips_st = 2.0
+    ips_st = 1.0
     for i in range(n_pairs):
         bpm = [122.0, 128.0, 140.0, 150.0][i % 4]
         factor = [1.18, 1.22, 1.25, 1.30][(i // 4) % 4]
@@ -126,7 +129,7 @@ def accuracy_report(pa, factors, conds, classifications) -> dict:
     tso_reg = err(pa.ibi_regression_ratio)[tso]
 
     st = np.asarray(pa.pitch_point_st, np.float64)
-    true_st = np.where(tso, 0.0, 12.0 * np.log2(f) + np.where(ips, 2.0, 0.0))
+    true_st = np.where(tso, 0.0, 12.0 * np.log2(f) + np.where(ips, 1.0, 0.0))
     expected_st = np.round(true_st * 3.0) / 3.0
     pitch_exact = int(np.sum(np.abs(st - expected_st) < 1e-6))
     # sub-semitone refinement (log-spectrum xcorr): asserted on pure pairs
@@ -138,11 +141,27 @@ def accuracy_report(pa, factors, conds, classifications) -> dict:
                         - 12.0 * np.log2(f)) * 100.0)[pure]
     n_ref = int(np.sum(ref_ok))
 
-    cls = np.asarray(classifications)
-    cls_ok = {name: f"{int(np.sum((cls == conds) & m))}/{int(m.sum())}"
-              for name, m in [("pure", pure), ("ips", ips), ("tso", tso)]
-              if m.any()}
-    cls_all_ok = bool(np.all(cls == conds))
+    cls_parity, cls_v2 = (np.asarray(c) for c in classifications)
+    count = lambda cls, m: (  # noqa: E731
+        f"{int(np.sum((cls == conds) & m))}/{int(m.sum())}")
+    # v2 (classify_on_ibi, the production-recommended mode) must be exact
+    # on every condition: the beat-time estimators carry no lag-grid
+    # quantization.  The parity path classifies on the windowed ratio,
+    # whose BPM-grid snap is ±2-5 % at 120-150 BPM — wider than the 0.02
+    # tolerance — so it is asserted only on the large-margin ips/tso
+    # conditions and REPORTED (not asserted) on pure pairs; that fragility
+    # is the reference's own (consensus.py:315-336 fed by tempo.py:61-68)
+    # and is exactly why classify_on_ibi exists (config.py:63-67).
+    cls_ok = {
+        "v2": {name: count(cls_v2, m)
+               for name, m in [("pure", pure), ("ips", ips), ("tso", tso)]
+               if m.any()},
+        "parity": {name: count(cls_parity, m)
+                   for name, m in [("pure", pure), ("ips", ips),
+                                   ("tso", tso)] if m.any()},
+    }
+    cls_all_ok = bool(np.all(cls_v2 == conds)
+                      and np.all((cls_parity == conds)[ips | tso]))
 
     acc = {
         "conditions": {"pure": int(pure.sum()), "ips": int(ips.sum()),
@@ -221,10 +240,13 @@ def measure_tpu(pairs, factors, conds, duration: float, reps: int):
     log(f"  warmup {time.time() - t0:.1f}s; "
         f"mean tempo ratio {float(stats.mean_tempo_ratio):.4f} "
         f"({int(stats.n_ok)}/{B} analyzable)")
+    cls_of = lambda rs: [r if isinstance(r, str) else r.classification  # noqa: E731
+                         for r in rs]
     results = analyzer.results_from_pa(pa, B)
-    classifications = [r if isinstance(r, str) else r.classification
-                       for r in results]
-    acc = accuracy_report(pa, factors, conds, classifications)
+    results_v2 = analyzer.results_from_pa(
+        pa, B, cfg=analyzer.cfg.replace(classify_on_ibi=True))
+    acc = accuracy_report(pa, factors, conds,
+                          (cls_of(results), cls_of(results_v2)))
     log(f"  accuracy: {acc}")
 
     times = []

@@ -233,16 +233,20 @@ class CorpusAnalyzer:
                     0, truncation_warning(dur, cfg.max_duration_sec))
         return results, stats
 
-    def results_from_pa(self, pa, n: int) -> List:
+    def results_from_pa(self, pa, n: int, cfg: Optional[AnalyzerConfig] = None
+                        ) -> List:
         """First ``n`` rows of a host-side PairAnalysis → AnalysisResult
         (or error-string) list — the same per-pair error surface as the
-        reference pipeline."""
+        reference pipeline.  ``cfg`` overrides the consensus-stage config
+        (host-side decision knobs only, e.g. ``classify_on_ibi``); the
+        device outputs in ``pa`` are unchanged."""
         from ..analyze.consensus import result_from_pair_analysis
         results: List = []
         for i in range(n):
             row = self._jax.tree_util.tree_map(lambda x: x[i], pa)
             try:
-                results.append(result_from_pair_analysis(row, self.cfg))
+                results.append(result_from_pair_analysis(
+                    row, cfg if cfg is not None else self.cfg))
             except (RuntimeError, ValueError) as exc:
                 results.append(str(exc))
         return results
