@@ -65,7 +65,11 @@ def analyze_arrays(nc_audio: np.ndarray, src_audio: np.ndarray,
     _log(f"Device program: {bucket:.0f} s bucket"
          f" ({cfg.n_window_slots} window slots, {cfg.max_chunks} pitch chunks)")
     with timer.stage("compile/load"):
-        fn = build_analyze_fn(cfg, auto_align=auto_align and src_trim_sec == 0.0,
+        # classify_on_ibi is consumed host-side only (consensus stage);
+        # strip it from the device config so toggling it reuses the same
+        # compiled executable
+        fn = build_analyze_fn(cfg.replace(classify_on_ibi=False),
+                              auto_align=auto_align and src_trim_sec == 0.0,
                               compute_pitch=compute_pitch)
     with timer.stage("device analysis"), device_trace():
         pa = fn(jnp.asarray(nc_buf), jnp.asarray(n_nc),
@@ -92,12 +96,15 @@ def run(
     src_trim_sec: float = 0.0,
     auto_align: bool = False,
     compute_pitch: bool = True,
+    classify_on_ibi: bool = False,
     log: Optional[Callable[[str], None]] = print,
 ) -> AnalysisResult:
     """Analyse the tempo and pitch relationship between a nightcore track and
     its source.  Same parameters, defaults, and error behavior as the
     reference entry point (``pipeline.py:23-216``); see the module docstring
-    for the host/device split."""
+    for the host/device split.  ``classify_on_ibi`` is additive
+    (beyond-reference): classify on the beat-time estimators instead of the
+    grid-quantized windowed ratio (``config.py`` ``classify_on_ibi``)."""
     def _log(msg: str) -> None:
         if log is not None:
             log(msg)
@@ -116,6 +123,7 @@ def run(
         silence_strip_db=(silence_strip_db if silence_strip_db is not None
                           else DEFAULT_CONFIG.silence_strip_db),
         strip_silence=silence_strip_db is not None,
+        classify_on_ibi=classify_on_ibi,
     )
 
     if silence_strip_db is not None:

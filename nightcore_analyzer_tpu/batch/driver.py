@@ -123,6 +123,7 @@ def _decode_batch(entries, cfg, load_audio, log, workers: int | None = None):
 
 def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                      compute_pitch: bool = True, resume: bool = False,
+                     classify_on_ibi: bool = False,
                      log=_log) -> Tuple[int, int]:
     """Returns (n_ok, n_failed).
 
@@ -198,6 +199,9 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
             entries = buckets[bucket_sec]
             cfg = DEFAULT_CONFIG.replace(max_duration_sec=bucket_sec)
             analyzer = CorpusAnalyzer(cfg, compute_pitch=compute_pitch)
+            # host-side consensus override (device program unchanged)
+            cons_cfg = (cfg.replace(classify_on_ibi=True)
+                        if classify_on_ibi else None)
             parts = [entries[lo:lo + batch]
                      for lo in range(0, len(entries), batch)]
 
@@ -220,7 +224,8 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                     dev_args = analyzer.put_buffers(analyzer.pad_batch(bufs))
                 pa, stats = analyzer._unpack(np.asarray(out[0]),
                                              np.asarray(out[1]))
-                results = analyzer.results_from_pa(pa, len(cur_metas))
+                results = analyzer.results_from_pa(pa, len(cur_metas),
+                                                   cfg=cons_cfg)
                 log(f"  bucket {bucket_sec:.0f}s: batch {bi + 1}/{len(parts)}"
                     f" ({len(cur_metas)} pairs) in {time.time() - t0:.1f}s "
                     f"(mean tempo "
@@ -263,6 +268,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="skip the chroma pitch stage")
     ap.add_argument("--resume", action="store_true",
                     help="skip pairs already completed in --output")
+    ap.add_argument("--classify-on-ibi", action="store_true",
+                    help="classify on the beat-time estimators instead of "
+                         "the grid-quantized windowed ratio "
+                         "(beyond-reference; see config.classify_on_ibi)")
     args = ap.parse_args(argv)
 
     if not args.manifest.is_file():
@@ -271,7 +280,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     n_ok, n_fail = analyze_manifest(args.manifest, args.output,
                                     batch=args.batch,
                                     compute_pitch=not args.no_pitch,
-                                    resume=args.resume)
+                                    resume=args.resume,
+                                    classify_on_ibi=args.classify_on_ibi)
     return 0 if n_fail == 0 else 1
 
 

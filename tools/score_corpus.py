@@ -12,9 +12,12 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
@@ -30,10 +33,11 @@ def main() -> int:
 
     n_ok = n_err = 0
     errors = {}
-    est_errs = {"ibi_ratio": [], "ibi_refined_ratio": [],
+    est_errs = {"ibi_ratio": [], "ibi_mean_ratio": [],
                 "ibi_regression_ratio": [], "tempo_ratio": []}
     pitch_exact = pitch_total = 0
     cls_counts = {}
+    cls2_counts = {}
     warn_counts = {}
     for line in args.results.read_text().splitlines():
         rec = json.loads(line)
@@ -51,12 +55,21 @@ def main() -> int:
         pr = rec.get("pitch_ratio")
         if pr and pr > 0:
             pitch_total += 1
-            st = 12.0 * np.log2(pr)
-            if abs(st - round(st * 3.0) / 3.0) < 1e-6 and \
-                    abs(st - round(12.0 * np.log2(f) * 3.0) / 3.0) < 1e-6:
+            st = 12.0 * np.log2(pr)   # export rounds ratios to 8 dp
+            expect = round(12.0 * np.log2(f) * 3.0) / 3.0
+            if abs(st - expect) < 1e-3:
                 pitch_exact += 1
         c = rec.get("classification", "?")
         cls_counts[c] = cls_counts.get(c, 0) + 1
+        # classify_on_ibi (v2) replicated from the record fields
+        from nightcore_analyzer_tpu.analyze.consensus import classify
+        best = rec.get("ibi_regression_ratio") or rec.get("ibi_ratio")
+        ci = rec.get("ibi_ci_95")
+        if best and pr and ci:
+            half = max(ci[1] - ci[0], 1e-6) / 2
+            c2 = classify(best, pr, (best - half, best + half),
+                          tuple(rec.get("pitch_ci_95", (pr, pr))))
+            cls2_counts[c2] = cls2_counts.get(c2, 0) + 1
         for w in rec.get("warnings", []):
             key = w.split(".")[0][:60]
             warn_counts[key] = warn_counts.get(key, 0) + 1
@@ -70,7 +83,8 @@ def main() -> int:
         print(f"{k:24s} n={len(a):4d}  median {np.median(a):.5f}%  "
               f"p95 {np.percentile(a, 95):.5f}%  max {a.max():.5f}%")
     print(f"pitch exact grid point: {pitch_exact}/{pitch_total}")
-    print(f"classifications: {cls_counts}")
+    print(f"classifications (parity windowed): {cls_counts}")
+    print(f"classifications (v2 classify_on_ibi): {cls2_counts}")
     if warn_counts:
         print("warnings (first clause):")
         for k, v in sorted(warn_counts.items(), key=lambda kv: -kv[1]):
