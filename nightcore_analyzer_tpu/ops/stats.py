@@ -126,11 +126,28 @@ def bootstrap_medians(key: jax.Array, vals: jnp.ndarray, mask: jnp.ndarray,
     TPU formulation: sorting every resample is O(n_boot·n·log n) of
     sort-network traffic; instead the *source* values are sorted once, the
     draws become integer indices into that sorted array, and the median of a
-    resample is the value at the median *index* (monotone map).  The k-th
-    order statistic of the drawn indices is found by a vectorized binary
-    search over counts — pure compare/reduce work that the VPU eats.
+    resample is the value at the median *index* (monotone map).
+
+    Two ways to obtain the middle order statistics of the drawn indices:
+
+    * small ``n_max``: vectorized binary search over counts of the
+      (n_boot, n_max) index matrix — pure compare/reduce VPU work;
+    * large ``n_max`` (the 2048-beat IBI buffers): the matrix itself is
+      the bottleneck (11 bisect passes over 16 MB), so the order
+      statistics are sampled DIRECTLY from their exact joint law instead
+      of materializing any draws.  A resampled index is ``floor(U·n)``
+      with ``U ~ U(0,1)``; ``floor`` is monotone, so the k-th order
+      statistic of the indices is ``floor(U_(k)·n)`` where
+      ``U_(k) ~ Beta(k+1, n-k)`` — and the adjacent statistic needed for
+      even-n medians is ``U_(k+1) = U_(k) + (1-U_(k))·min``-of-
+      ``(n-k-1)`` uniforms.  This is a change of sampling procedure, not
+      of distribution: the bootstrap-median law is reproduced exactly
+      (per-draw), only the random stream differs — same determinism
+      class as the documented jax.random-vs-numpy deviation.
     """
     n_max = vals.shape[-1]
+    if n_max >= 256:
+        return _bootstrap_medians_beta(key, vals, mask, n_boot)
     n_valid = jnp.sum(mask, axis=-1)
     # sorted valid entries first (invalid → +inf go last)
     sorted_vals = jnp.sort(jnp.where(mask, vals, jnp.inf), axis=-1)
@@ -172,6 +189,32 @@ def bootstrap_medians(key: jax.Array, vals: jnp.ndarray, mask: jnp.ndarray,
     j1, j2 = kth_index2(k_lo, k_hi)
     med = 0.5 * (jnp.take(sorted_vals, jnp.clip(j1, 0, n_max - 1)) +
                  jnp.take(sorted_vals, jnp.clip(j2, 0, n_max - 1)))
+    return jnp.where(n_valid > 0, med, jnp.nan)
+
+
+def _bootstrap_medians_beta(key: jax.Array, vals: jnp.ndarray,
+                            mask: jnp.ndarray, n_boot: int) -> jnp.ndarray:
+    """Exact-law bootstrap medians via order-statistic sampling (see
+    :func:`bootstrap_medians`).  O(n log n) sort + O(n_boot) draws — no
+    (n_boot, n_max) index matrix."""
+    n_max = vals.shape[-1]
+    n_valid = jnp.sum(mask, axis=-1)
+    sorted_vals = jnp.sort(jnp.where(mask, vals, jnp.inf), axis=-1)
+    n = jnp.maximum(n_valid, 1).astype(jnp.float32)
+    k_lo = (jnp.maximum(n_valid - 1, 0) // 2).astype(jnp.float32)
+    k1, k2 = jax.random.split(key)
+    # U_(k_lo) of n iid uniforms
+    v1 = jax.random.beta(k1, k_lo + 1.0, n - k_lo, shape=(n_boot,))
+    # U_(k_lo+1) = v1 + (1-v1)·(min of the remaining n-k_lo-1 uniforms)
+    m = jnp.maximum(n - k_lo - 1.0, 1.0)
+    gap = 1.0 - jax.random.uniform(
+        k2, (n_boot,), minval=jnp.finfo(jnp.float32).tiny) ** (1.0 / m)
+    v2 = v1 + (1.0 - v1) * gap
+    even = (n_valid % 2 == 0) & (n_valid > 1)   # k_hi = k_lo+1 only then
+    top = jnp.maximum(n_valid - 1, 0)           # f32 v≈1 could floor to n
+    j1 = jnp.clip((v1 * n).astype(jnp.int32), 0, top)
+    j2 = jnp.where(even, jnp.clip((v2 * n).astype(jnp.int32), 0, top), j1)
+    med = 0.5 * (jnp.take(sorted_vals, j1) + jnp.take(sorted_vals, j2))
     return jnp.where(n_valid > 0, med, jnp.nan)
 
 

@@ -157,3 +157,28 @@ def test_classification_v2_fixes_grid_misfire():
     v2 = result_from_pair_analysis(
         pa, AnalyzerConfig(max_duration_sec=120.0, classify_on_ibi=True))
     assert v2.classification == "pure_nightcore"
+
+
+def test_beta_bootstrap_matches_bisect_distribution():
+    """The large-buffer bootstrap path samples the middle order statistics
+    directly from their exact Beta joint law instead of materializing the
+    (n_boot, n_max) index matrix; per-draw the bootstrap-median law is
+    unchanged.  Same data through both paths (only the padding width picks
+    the path) must give the same CI quantiles up to Monte-Carlo noise."""
+    import jax
+    import jax.numpy as jnp
+    from nightcore_analyzer_tpu.ops import stats
+
+    rng = np.random.default_rng(0)
+    for n_valid in (120, 121):                 # even + odd medians
+        vals = np.full(2048, np.inf, np.float32)
+        vals[:n_valid] = 0.47 + 0.01 * rng.standard_normal(n_valid)
+        mask = np.arange(2048) < n_valid
+        key = jax.random.PRNGKey(7)
+        beta = np.asarray(stats.bootstrap_medians(
+            key, jnp.asarray(vals), jnp.asarray(mask), 20000))
+        bis = np.asarray(stats.bootstrap_medians(
+            key, jnp.asarray(vals[:128]), jnp.asarray(mask[:128]), 20000))
+        for q in (2.5, 50.0, 97.5):
+            assert abs(np.percentile(beta, q) - np.percentile(bis, q)) < 5e-4
+        assert beta.std() == pytest.approx(bis.std(), rel=0.05)
