@@ -165,6 +165,39 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
     if use_time_kernels:
         lo_tb, hi_tb = _time_bases(cfg)
 
+    # ── fused Pallas path (TPU): framing + CQT + fold + normalize + masked
+    # frame-sum per tile in VMEM (ops/pallas/chromacq.py) — the scan below
+    # spent 22% of the whole corpus program on frame-tensor HBM traffic ──
+    from .pallas import chromacq
+    if use_time_kernels and chromacq.supported(n_fft, hop_hi, fchunk):
+        rows_hi = fchunk + 8           # per-phase rows; frame j row a →
+        rows_lo = fchunk + 32          # phase a%4, idx j + a//4 (hi)
+        span4_hi = 4 * rows_hi * 128
+        span_lo3 = rows_lo * 128
+        t_hi, t_lo = [], []
+        for c in range(cfg.max_chunks):
+            start_hi = c * cfg.chunk_samples
+            start_lo = start_hi // 4
+            for fc2 in range(n_fchunks):
+                s_hi = start_hi + fc2 * fchunk * hop_hi
+                s_lo = start_lo + fc2 * fchunk * hop_lo
+                t_hi.append(jax.lax.slice_in_dim(
+                    ypad, s_hi, s_hi + span4_hi, axis=-1
+                ).reshape(rows_hi, 4, 128).transpose(1, 0, 2))
+                t_lo.append(jax.lax.slice_in_dim(
+                    y4pad, s_lo, s_lo + span_lo3, axis=-1
+                ).reshape(rows_lo, 128))
+        tile_sums = chromacq.chroma_tile_sums(
+            jnp.stack(t_hi), jnp.stack(t_lo), tile_fvalid,
+            hi_tb, lo_tb, fchunk=fchunk,
+            n_lo=cfg.chroma_low_octaves * bpo,
+            n_hi=(cfg.chroma_n_octaves - cfg.chroma_low_octaves) * bpo,
+            bpo=bpo)
+        chunk_sums = tile_sums.reshape(cfg.max_chunks, n_fchunks, bpo
+                                       ).sum(axis=1)
+        f_valid_all = tile_fvalid.reshape(cfg.max_chunks, n_fchunks)[:, 0]
+        return chunk_sums / jnp.maximum(f_valid_all, 1)[:, None]
+
     def body(_, tile):
         seg_hi, seg_lo, f_valid = tile
         fr_hi = frame_interleaved(seg_hi, fchunk, n_fft, hop_hi)[:fchunk]

@@ -1,0 +1,162 @@
+"""Fused per-tile chroma: framing + dual-stream CQT matmuls + chroma fold +
+per-frame normalize + masked frame-sum in one Pallas TPU kernel.
+
+Replaces the ``lax.scan`` tile loop of ``ops/chroma.chunk_chroma_means``:
+profiling the corpus program (round 3) showed that loop at 167 ms of a
+755 ms batch — 22 %, the single largest item — almost entirely HBM traffic
+on the materialized (rows, 4096) frame tensors and their relayouts, not
+MXU work.  Here each tile's frames exist only in VMEM:
+
+* the high stream (hop 512 = 4 rows of the (rows, 128) signal view) builds
+  frames from four phase-decimated row views — every frame-sample block is
+  a plain row slice (the hop-64 mel kernel's shifted-views trick);
+* the low stream (4×-decimated signal, hop 128 = exactly 1 row) builds
+  frames from directly shifted row slices;
+* CQT magnitudes are bf16 MXU matmuls per stream against the window-folded
+  time-domain kernels (``filters.cqt_time_kernels``), zero-padded to full
+  lane blocks (padding columns produce √1e-30 ≈ 0 magnitudes);
+* the chroma fold over octaves is ANOTHER matmul per stream (0/1 fold
+  matrices — no lane-granular reshapes or concats), then the per-frame
+  max-normalize and the frame-validity-masked sum, so the kernel emits one
+  (bpo,) sum per tile instead of a (rows, 4096) round trip to HBM.
+
+Frames come out in natural time order (no interleave permutation), and the
+tile output equals what ``chunk_chroma_means``'s scan body produced, so
+the caller's chunk reduction is unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["supported", "chroma_tile_sums"]
+
+_N_FFT = 4096
+_HOP_HI = 512
+_LANES = 128
+
+
+def supported(n_fft: int, hop: int, fchunk: int) -> bool:
+    return (n_fft == _N_FFT and hop == _HOP_HI
+            and fchunk % 8 == 0 and fchunk >= 8)
+
+
+@lru_cache(maxsize=8)
+def _fold_matrix(n_rows: int, n_bins: int, bpo: int, bpo_pad: int):
+    """(n_rows, bpo_pad) 0/1 fold: bin k (< n_bins) adds to class k % bpo;
+    padding rows/columns are zero."""
+    f = np.zeros((n_rows, bpo_pad), np.float32)
+    for k in range(n_bins):
+        f[k, k % bpo] = 1.0
+    return f
+
+
+def _make_kernel(fchunk: int, bpo: int):
+    n_blocks = _N_FFT // _LANES
+
+    def kernel(fv_ref, hi_ref, lo_ref, khi_re_ref, khi_im_ref,
+               klo_re_ref, klo_im_ref, fold_hi_ref, fold_lo_ref, out_ref):
+        bf = jnp.bfloat16
+
+        def chroma_part(slice_a, kre_ref, kim_ref, fold_ref):
+            # accumulate over the 32 frame-sample lane blocks — each block
+            # is a plain row slice, no (fchunk, 4096) concat materializes
+            re = im = 0.0
+            for a in range(n_blocks):
+                fr_a = slice_a(a).astype(bf)            # (fchunk, 128)
+                ka = jax.lax.slice_in_dim(kre_ref[:], a * _LANES,
+                                          (a + 1) * _LANES, axis=0)
+                kb = jax.lax.slice_in_dim(kim_ref[:], a * _LANES,
+                                          (a + 1) * _LANES, axis=0)
+                re = re + jnp.dot(fr_a, ka,
+                                  preferred_element_type=jnp.float32)
+                im = im + jnp.dot(fr_a, kb,
+                                  preferred_element_type=jnp.float32)
+            mag = jnp.sqrt(re * re + im * im + 1e-30)
+            return jnp.dot(mag.astype(bf), fold_ref[:],
+                           preferred_element_type=jnp.float32)
+
+        ch = (chroma_part(lambda a: lo_ref[0, a: a + fchunk, :],
+                          klo_re_ref, klo_im_ref, fold_lo_ref) +
+              chroma_part(lambda a: hi_ref[0, a % 4,
+                                           a // 4: a // 4 + fchunk, :],
+                          khi_re_ref, khi_im_ref, fold_hi_ref))
+        lane = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 1)
+        peak = jnp.max(jnp.where(lane < bpo, ch, -jnp.inf),
+                       axis=-1, keepdims=True)
+        ch = jnp.where((peak > 1e-12) & (lane < bpo),
+                       ch / jnp.maximum(peak, 1e-12), 0.0)
+        row = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 0)
+        valid = row < fv_ref[0, 0, 0].astype(jnp.int32)
+        sums = jnp.sum(jnp.where(valid, ch, 0.0), axis=0)   # (bpo_pad,)
+        out_ref[0] = jnp.broadcast_to(sums[None, :], out_ref.shape[1:])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("fchunk", "n_lo", "n_hi", "bpo",
+                                   "interpret"))
+def chroma_tile_sums(tiles_hi4: jnp.ndarray, tiles_lo: jnp.ndarray,
+                     tile_fvalid: jnp.ndarray,
+                     khi: tuple, klo: tuple, *,
+                     fchunk: int, n_lo: int, n_hi: int, bpo: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Per-tile masked chroma sums.
+
+    ``tiles_hi4``: (T, 4, rows_hi, 128) 4-phase row views of each tile's
+    native-rate samples (phase q holds rows 4m+q of the tile's
+    (rows, 128) view); ``tiles_lo``: (T, rows_lo, 128) rows of the
+    4×-decimated stream; ``tile_fvalid``: (T,) valid frame counts;
+    ``khi``/``klo``: (k_re, k_im) window-folded time-domain CQT kernels,
+    shapes (4096, n_hi) / (4096, n_lo).
+
+    Returns (T, bpo) chroma sums over valid frames (max-normalized per
+    frame), equal to the scan-body output of ``chunk_chroma_means``.
+    """
+    T = tiles_hi4.shape[0]
+    rows_hi = tiles_hi4.shape[2]
+    rows_lo = tiles_lo.shape[1]
+    bf = jnp.bfloat16
+
+    def padk(k, n):
+        n_pad = -(-n // _LANES) * _LANES
+        return jnp.pad(jnp.asarray(k, bf), ((0, 0), (0, n_pad - n)))
+
+    khi_re, khi_im = (padk(k, n_hi) for k in khi)
+    klo_re, klo_im = (padk(k, n_lo) for k in klo)
+    bpo_pad = -(-bpo // _LANES) * _LANES
+    nhi_pad = khi_re.shape[1]
+    nlo_pad = klo_re.shape[1]
+    fold_hi = jnp.asarray(_fold_matrix(nhi_pad, n_hi, bpo, bpo_pad), bf)
+    fold_lo = jnp.asarray(_fold_matrix(nlo_pad, n_lo, bpo, bpo_pad), bf)
+
+    out = pl.pallas_call(
+        _make_kernel(fchunk, bpo),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, 8, _LANES), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((1, 4, rows_hi, _LANES),
+                               lambda t: (t, 0, 0, 0)),
+                  pl.BlockSpec((1, rows_lo, _LANES), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((_N_FFT, nhi_pad), lambda t: (0, 0)),
+                  pl.BlockSpec((_N_FFT, nhi_pad), lambda t: (0, 0)),
+                  pl.BlockSpec((_N_FFT, nlo_pad), lambda t: (0, 0)),
+                  pl.BlockSpec((_N_FFT, nlo_pad), lambda t: (0, 0)),
+                  pl.BlockSpec((nhi_pad, bpo_pad), lambda t: (0, 0)),
+                  pl.BlockSpec((nlo_pad, bpo_pad), lambda t: (0, 0)),
+                  ],
+        out_specs=pl.BlockSpec((1, 8, bpo_pad), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, 8, bpo_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.broadcast_to(
+          tile_fvalid.astype(jnp.float32)[:, None, None], (T, 8, _LANES)),
+      tiles_hi4, tiles_lo,
+      khi_re, khi_im, klo_re, klo_im, fold_hi, fold_lo)
+    return out[:, 0, :bpo]

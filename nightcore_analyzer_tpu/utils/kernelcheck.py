@@ -141,11 +141,39 @@ def run_kernel_selftest(duration: float = 110.0, *, report=print) -> dict:
                f"{out['beatdp_backlink_mismatch_frac']:.2e}, "
                f"beats agree (±1 frame): {out['beatdp_beats_equal']}")
 
+    # ── 5. fused chroma tile kernel (ops/pallas/chromacq.py) ─────────────────
+    # Both paths live inside chunk_chroma_means; flip the support gate
+    # between traces to compare the Pallas path against the scan fallback
+    # (both bf16 MXU matmuls — only framing/fold/normalize placement differ).
+    if interp:
+        # on CPU both traces take the rfft scan fallback — nothing to
+        # compare; interpret-mode numerics live in tests/test_mxu_math.py
+        out["chromacq_rel"] = 0.0
+        report("  chroma CQT:     skipped (non-TPU backend; covered in "
+               "interpret mode by tests/test_mxu_math.py)")
+    else:
+        from ..ops import chroma as chroma_mod
+        from ..ops import resample
+        from ..ops.pallas import chromacq
+        y4s = resample.decimate_pow2(ys, 4)
+        ccm = lambda: jax.jit(jax.vmap(  # noqa: E731
+            lambda y, y4_, n: chroma_mod.chunk_chroma_means(y, y4_, n, cfg)
+        ))(ys, y4s, ns)
+        got_c = ccm()
+        sup, chromacq.supported = chromacq.supported, lambda *a: False
+        try:
+            want_c = ccm()
+        finally:
+            chromacq.supported = sup
+        out["chromacq_rel"] = rel(got_c, want_c)
+        report(f"  chroma CQT:     rel {out['chromacq_rel']:.2e}")
+
     out["ok"] = bool(
         out["melfft_h64_rel"] < 0.02
         and out["melfft_h512_rel"] < 0.02
         and out["acf_rel"] < 1e-3
         and out["beatdp_cum_rel"] < 1e-3
         and out["beatdp_backlink_mismatch_frac"] < 1e-3
-        and out["beatdp_beats_equal"])
+        and out["beatdp_beats_equal"]
+        and out["chromacq_rel"] < 0.01)
     return out

@@ -43,7 +43,9 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
                chord_bars: float = 2.0,
                tempo_drift: float = 0.0,
                accent_jitter: float = 0.0,
-               section_gains: float = 0.0) -> np.ndarray:
+               section_gains: float = 0.0,
+               swing: float = 0.0,
+               noise_level: float = 0.0) -> np.ndarray:
     """Music-like signal: chord pad (root + harmonics over a small chord
     progression) amplitude-pulsed on the beat, plus percussive clicks and a
     bass line.  Has enough spectral flux for onset/beat tracking and enough
@@ -66,7 +68,17 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
     ~7 s sections with per-section gain 1 ± that relative amount (seeded,
     0.5 s crossfades).  RMS-envelope alignment (auto-align) fundamentally
     keys on such macro structure — a structureless constant-loudness
-    loop gives every candidate (speed, lag) the same flat correlation."""
+    loop gives every candidate (speed, lag) the same flat correlation.
+
+    ``swing`` delays every *odd* beat by that fraction of a beat period
+    (smooth phase warp, so envelope, clicks, and bass all shift together).
+    Alternating long/short inter-beat intervals are the classic stress for
+    IBI statistics: the per-side median picks one of the two interval
+    lengths while the mean/regression estimators stay centred.
+
+    ``noise_level`` adds broadband noise of that amplitude relative to the
+    normalized signal peak (0.1 ≈ 17 dB SNR on this material) — the
+    noisy-passage robustness axis."""
     rng = np.random.default_rng(seed)
     n = int(duration * sr)
     t = np.arange(n) / sr
@@ -78,6 +90,11 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
         beat_phase_abs = np.cumsum(inst) / sr
     else:
         beat_phase_abs = t * bpm / 60.0
+    if swing:
+        # period-2 smooth warp: zero at even beats, -swing at odd beats, so
+        # odd beats land `swing` of a period late (monotonic for swing<0.6)
+        beat_phase_abs = beat_phase_abs - swing * 0.5 * (
+            1.0 - np.cos(np.pi * beat_phase_abs))
     beat_frac = beat_phase_abs % 1.0
 
     # chord progression: I - vi - IV - V (semitone offsets), chord_bars each
@@ -126,6 +143,9 @@ def music_like(duration: float, sr: int = 22050, bpm: float = 128.0,
 
     y += 0.003 * rng.normal(size=n)
     y /= np.max(np.abs(y)) * 1.25
+    if noise_level:
+        y += noise_level * np.max(np.abs(y)) * rng.normal(size=n)
+        y /= np.max(np.abs(y)) * 1.25
     return y.astype(np.float32)
 
 

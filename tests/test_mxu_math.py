@@ -299,6 +299,56 @@ def test_window_acfs_fast_path_decision_equivalence():
     assert np.array_equal(bpm_exact, bpm_shared), (bpm_exact, bpm_shared)
 
 
+def test_chromacq_pallas_interpret_matches_scan(rng):
+    """The fused Pallas chroma tile kernel (framing + dual-stream CQT +
+    fold + normalize + masked frame-sum in VMEM) vs the lax.scan fallback
+    of ``chunk_chroma_means`` — same time-domain bases, so only framing /
+    fold placement differ and bf16 tolerance applies.
+
+    Forced on CPU by patching ``_use_mxu`` (the gate is backend-based) and
+    running the Pallas kernel in interpret mode; the scan leg is obtained
+    by patching ``chromacq.supported`` to False."""
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.ops import chroma as chroma_mod
+    from nightcore_analyzer_tpu.ops import resample
+    from nightcore_analyzer_tpu.ops.pallas import chromacq
+
+    cfg = AnalyzerConfig(max_duration_sec=8.0, chunk_sec=4.0,
+                         max_beats=128, max_beats_window=32,
+                         chroma_frame_chunk=64)
+    y = rng.standard_normal(cfg.max_samples).astype(np.float32)
+    n_valid = int(7.3 * cfg.sample_rate)
+    y[n_valid:] = 0.0
+    ys = jnp.asarray(y)
+    y4 = resample.decimate_pow2(ys[None], 4)[0]
+    ns = jnp.asarray(n_valid, jnp.int32)
+
+    real_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return real_call(*a, **k)
+
+    assert chromacq.supported(cfg.chroma_n_fft, cfg.chroma_hop,
+                              cfg.chroma_frame_chunk)
+    try:
+        with mock.patch("nightcore_analyzer_tpu.ops.fft_mxu._use_mxu",
+                        lambda: True):
+            with mock.patch.object(chromacq.pl, "pallas_call", interp_call):
+                got = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, ns, cfg))
+            with mock.patch.object(chromacq, "supported",
+                                   lambda *a: False):
+                want = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, ns, cfg))
+    finally:
+        chromacq.chroma_tile_sums.clear_cache()
+
+    assert got.shape == want.shape == (cfg.max_chunks, cfg.chroma_bins_per_octave)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.01                       # bf16 reorder noise floor
+
+
 def test_window_acfs_window_longer_than_bucket():
     """window_sec > bucket (f_win > F512) must fall back to the exact
     windowed path on TPU instead of crashing at trace time (the global-grid
