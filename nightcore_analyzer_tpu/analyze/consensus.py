@@ -289,6 +289,37 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         result.ibi_refined_ratio = float(g(pa.ibi_refined_ratio))
         reg = float(g(pa.ibi_regression_ratio))
         result.ibi_regression_ratio = reg if reg > 0 else None
+
+        # ── octave rescue (beyond-reference; config.py ibi_octave_rescue).
+        # A swung/shuffled groove can make the DP lock one side onto the
+        # 2-beat pair period, exactly halving/doubling every IBI-derived
+        # ratio (measured: swing ≥ 8% flips some pairs to ratio/2 with
+        # ~0.01% residual).  The beat-free duration ratio arbitrates —
+        # the same arbiter the reference uses for its half-time flip and
+        # duration-based rubberband fallback.
+        if (cfg.ibi_octave_rescue and result.ibi_regression_ratio
+                and nc_duration and src_duration and nc_duration > 0):
+            dur_ratio = src_duration / nc_duration
+            tol = cfg.ibi_octave_tolerance
+            base = result.ibi_regression_ratio
+            if abs(base / dur_ratio - 1.0) > tol:
+                for k in (2.0, 0.5):
+                    if abs(k * base / dur_ratio - 1.0) <= tol:
+                        result.ibi_ratio *= k
+                        result.ibi_ci = (result.ibi_ci[0] * k,
+                                         result.ibi_ci[1] * k)
+                        result.ibi_refined_ratio *= k
+                        result.ibi_regression_ratio *= k
+                        result.ibi_octave_corrected = k
+                        result.warnings.append(
+                            f"IBI octave rescue: the beat tracker locked one "
+                            f"side onto a {'half' if k == 2.0 else 'double'}"
+                            f"-time grid (raw IBI ratio {base:.4f} vs "
+                            f"duration ratio {dur_ratio:.4f}); all IBI "
+                            f"estimators were rescaled by ×{k:g}. Common on "
+                            f"heavily swung material — verify with the "
+                            f"waveform xcorr step.")
+                        break
         if cfg.classify_on_ibi and compute_pitch and n_pitch > 0:
             # v2 (opt-in): the windowed ratio is lag-grid quantized, which
             # misclassifies constant-tempo material whose grid snap lands

@@ -53,6 +53,10 @@ class AnalysisResult:
     ibi_ci: Optional[Tuple[float, float]] = None
     ibi_refined_ratio: Optional[float] = None   # mean-IBI (sub-grid) estimate
     ibi_regression_ratio: Optional[float] = None  # beat-time LS-slope estimate
+    # octave-rescue multiplier applied to the IBI estimators (0.5 or 2.0)
+    # when a per-side half-/double-time beat lock was detected against the
+    # beat-free duration ratio; None = no correction (see consensus.py)
+    ibi_octave_corrected: Optional[float] = None
     xcorr_ratio: Optional[float] = None
     xcorr_quality: Optional[float] = None
     intro_offset_sec: Optional[float] = None

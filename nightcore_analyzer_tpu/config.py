@@ -66,6 +66,18 @@ class AnalyzerConfig:
     # independent_pitch_shift misfires on constant-tempo material, where
     # every window snaps to the same (slightly wrong) grid BPM.
     classify_on_ibi: bool = False
+    # IBI octave rescue (beyond-reference, host-side, ON by default): on
+    # heavily swung material the DP beat tracker can lock one side onto the
+    # 2-beat swing-pair period, exactly halving (or doubling) every
+    # IBI-derived ratio while the windowed/duration evidence stays correct.
+    # When the regression estimator disagrees with the beat-free duration
+    # ratio by more than ibi_octave_tolerance but an octave multiple
+    # (×2 or ×0.5) agrees within it, all IBI estimators and their CI are
+    # rescaled by that multiple and a warning is emitted.  The reference's
+    # own half-time flip (consensus.py:563-576) only repairs inversions;
+    # this extends the same duration-arbitrated idea to octave locks.
+    ibi_octave_rescue: bool = True
+    ibi_octave_tolerance: float = 0.02
     # Frame stride when aggregating the local-ACF tempogram.  1 == librosa
     # semantics (mean over every onset frame).  The global hop-64 pass uses
     # ibi_tempo_stride to bound compute; the aggregate is a mean so striding

@@ -54,6 +54,8 @@ def to_dict(result: AnalysisResult) -> dict:
         d["ibi_mean_ratio"] = round(result.ibi_refined_ratio, 8)
     if result.ibi_regression_ratio is not None:
         d["ibi_regression_ratio"] = round(result.ibi_regression_ratio, 8)
+    if result.ibi_octave_corrected is not None:
+        d["ibi_octave_corrected"] = result.ibi_octave_corrected
     if result.pitch_refined_st is not None:
         d["pitch_refined_st"] = round(result.pitch_refined_st, 6)
         if result.pitch_refined_ci is not None:

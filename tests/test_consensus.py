@@ -109,22 +109,19 @@ def test_compute_ibi_ratio():
     assert hi - lo < 0.01
 
 
-def test_classification_v2_fixes_grid_misfire():
-    """Opt-in classify_on_ibi: a pure nightcore whose windowed BPM snapped
-    to a grid point away from the true factor misclassifies as
-    independent_pitch_shift under v1; the beat-time estimator fixes it."""
+def _mk_pa(true_factor, grid_factor, pitch_ratio, *, ibi_scale=1.0):
+    """Crafted PairAnalysis row: durations imply ``true_factor``, the
+    windowed tempo snapped to ``grid_factor``, and every IBI estimator
+    reads ``true_factor * ibi_scale`` (ibi_scale=0.5 emulates the nc side
+    locking onto the 2-beat swing-pair period)."""
     import numpy as np
     import jax.numpy as jnp
-    from nightcore_analyzer_tpu.config import AnalyzerConfig
-    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
     from nightcore_analyzer_tpu.models.analyzer import PairAnalysis
 
-    true_factor = 1.23
-    grid_factor = 1.30                  # windowed ratio snapped wrong
-    pitch_ratio = true_factor           # pitch co-shifted (pure nightcore)
-    slots, chunks, K = 8, 6, 64
+    ibi = true_factor * ibi_scale
+    slots, chunks = 8, 6
     j = lambda v, dt=np.float32: jnp.asarray(np.asarray(v, dt))  # noqa: E731
-    pa = PairAnalysis(
+    return PairAnalysis(
         nc_len=j(22050 * 80, np.int32), src_len=j(int(22050 * 80 * true_factor), np.int32),
         nc_lead=j(0, np.int32), nc_trail=j(0, np.int32),
         src_lead=j(0, np.int32), src_trail=j(0, np.int32),
@@ -147,16 +144,59 @@ def test_classification_v2_fixes_grid_misfire():
         pitch_refined_chunk_st=j(np.zeros(chunks)), pitch_refined_st=j(0.0),
         pitch_refined_lo=j(0.0), pitch_refined_hi=j(0.0),
         pitch_refined_quality=j(0.0), pitch_refined_ok=j(False, bool),
-        ibi_ratio=j(true_factor), ibi_lo=j(true_factor - 0.001),
-        ibi_hi=j(true_factor + 0.001), ibi_valid=j(True, bool),
+        ibi_ratio=j(ibi), ibi_lo=j(ibi - 0.001),
+        ibi_hi=j(ibi + 0.001), ibi_valid=j(True, bool),
         n_src_ibis=j(200, np.int32), n_nc_ibis=j(200, np.int32),
-        ibi_refined_ratio=j(true_factor), ibi_regression_ratio=j(true_factor))
+        ibi_refined_ratio=j(ibi), ibi_regression_ratio=j(ibi))
 
+
+def test_classification_v2_fixes_grid_misfire():
+    """Opt-in classify_on_ibi: a pure nightcore whose windowed BPM snapped
+    to a grid point away from the true factor misclassifies as
+    independent_pitch_shift under v1; the beat-time estimator fixes it."""
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    pa = _mk_pa(1.23, 1.30, 1.23)
     v1 = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
     assert v1.classification == "time_stretch_only"         # the grid misfire
     v2 = result_from_pair_analysis(
         pa, AnalyzerConfig(max_duration_sec=120.0, classify_on_ibi=True))
     assert v2.classification == "pure_nightcore"
+
+
+def test_ibi_octave_rescue_halftime_lock():
+    """A half-time beat lock (all IBI estimators at factor/2, duration ratio
+    at the true factor) is rescaled ×2 with a warning; the untouched path
+    and the opt-out both leave values alone."""
+    import pytest
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    pa = _mk_pa(1.23, 1.30, 1.23, ibi_scale=0.5)
+    r = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    assert r.ibi_octave_corrected == 2.0
+    assert r.ibi_regression_ratio == pytest.approx(1.23, rel=1e-6)
+    assert r.ibi_ratio == pytest.approx(1.23, rel=1e-6)
+    assert r.ibi_refined_ratio == pytest.approx(1.23, rel=1e-6)
+    assert r.ibi_ci == pytest.approx((2 * (0.615 - 0.001), 2 * (0.615 + 0.001)))
+    assert any("octave rescue" in w for w in r.warnings)
+
+    off = result_from_pair_analysis(
+        pa, AnalyzerConfig(max_duration_sec=120.0, ibi_octave_rescue=False))
+    assert off.ibi_octave_corrected is None
+    assert off.ibi_regression_ratio == pytest.approx(0.615, rel=1e-6)
+
+    # double-time lock (estimators at 2×factor) rescales ×0.5
+    pa2 = _mk_pa(1.23, 1.30, 1.23, ibi_scale=2.0)
+    r2 = result_from_pair_analysis(pa2, AnalyzerConfig(max_duration_sec=120.0))
+    assert r2.ibi_octave_corrected == 0.5
+    assert r2.ibi_regression_ratio == pytest.approx(1.23, rel=1e-6)
+
+    # clean pair: untouched
+    pa3 = _mk_pa(1.23, 1.30, 1.23)
+    r3 = result_from_pair_analysis(pa3, AnalyzerConfig(max_duration_sec=120.0))
+    assert r3.ibi_octave_corrected is None
 
 
 def test_beta_bootstrap_matches_bisect_distribution():

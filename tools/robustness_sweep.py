@@ -102,20 +102,33 @@ def main() -> int:
         st = np.asarray(pa.pitch_point_st, np.float64)
         expect = np.round(12.0 * np.log2(factors) * 3.0) / 3.0
         hits = int(np.sum(np.abs(st - expect) < 1e-6))
+        # decision-level: through results_from_pa, i.e. including the
+        # host-side IBI octave rescue (consensus.py) — what a user sees
+        final = np.array([
+            (r.ibi_regression_ratio or np.nan)
+            if not isinstance(r, str) else np.nan
+            for r in analyzer.results_from_pa(pa, B)])
+        fin = err(final)
+        n_rescued = int(sum(
+            0 if isinstance(r, str) else (r.ibi_octave_corrected is not None)
+            for r in analyzer.results_from_pa(pa, B)))
         rows.append((label,
                      np.median(ibi), np.max(ibi),
                      np.median(mean_), np.max(mean_),
                      np.median(reg), np.max(reg),
-                     f"{hits}/{B}"))
+                     np.nanmedian(fin), np.nanmax(fin),
+                     f"{hits}/{B}", n_rescued))
 
     print(f"\n### Robustness sweep ({B} pairs × {dur:.0f} s per condition, "
-          "pure-nightcore pairs, errors in % of true factor)\n")
+          "pure-nightcore pairs, errors in % of true factor; 'final' = "
+          "decision-level regression estimator incl. octave rescue)\n")
     print("| condition | IBI med | IBI max | mean med | mean max "
-          "| regr med | regr max | pitch grid |")
-    print("|---|---|---|---|---|---|---|---|")
+          "| regr med | regr max | final med | final max | pitch grid "
+          "| rescued |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r[0]} | " + " | ".join(f"{v:.5f}" for v in r[1:7])
-              + f" | {r[7]} |")
+        print(f"| {r[0]} | " + " | ".join(f"{v:.5f}" for v in r[1:9])
+              + f" | {r[9]} | {r[10]} |")
     return 0
 
 
