@@ -181,7 +181,7 @@ def mean_acf_batch(env: jnp.ndarray, n_used: jnp.ndarray, *,
     partial_sums = pl.pallas_call(
         _kernel,
         grid=(S, 8, n_qb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((2 * _R, _ROWS), lambda s, j, q: (0, 0)),
                   pl.BlockSpec((_R, 1, _C), lambda s, j, q: (0, 0, 0)),

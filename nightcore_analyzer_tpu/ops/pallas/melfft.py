@@ -224,8 +224,8 @@ def mel_power_global_batch(ys: jnp.ndarray, *, sr: int, n_mels: int,
     out = pl.pallas_call(
         _fused_kernel,
         grid=(S, n_chunks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   *_const_specs()],
         out_specs=pl.BlockSpec((1, _CHUNK, 128), lambda s, c: (s, c, 0)),
         out_shape=jax.ShapeDtypeStruct((S, n_chunks * _CHUNK, 128),
@@ -301,7 +301,7 @@ def mel_power_hop512_batch(ys: jnp.ndarray, *, sr: int, n_mels: int,
     out = pl.pallas_call(
         _fused_kernel_h512,
         grid=(S, n_chunks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   *_const_specs()],
         out_specs=pl.BlockSpec((1, _CHUNK5, 128), lambda s, c: (s, c, 0)),
         out_shape=jax.ShapeDtypeStruct((S, n_chunks * _CHUNK5, 128),
