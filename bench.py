@@ -242,9 +242,11 @@ def measure_tpu(pairs, factors, conds, duration: float, reps: int):
         f"({int(stats.n_ok)}/{B} analyzable)")
     cls_of = lambda rs: [r if isinstance(r, str) else r.classification  # noqa: E731
                          for r in rs]
-    results = analyzer.results_from_pa(pa, B)
-    results_v2 = analyzer.results_from_pa(
-        pa, B, cfg=analyzer.cfg.replace(classify_on_ibi=True))
+    # v2 (classify_on_ibi) is the default since round 4; the parity path
+    # (the reference's windowed classification) is kept as a canary
+    results = analyzer.results_from_pa(
+        pa, B, cfg=analyzer.cfg.replace(classify_on_ibi=False))
+    results_v2 = analyzer.results_from_pa(pa, B)
     acc = accuracy_report(pa, factors, conds,
                           (cls_of(results), cls_of(results_v2)))
     log(f"  accuracy: {acc}")

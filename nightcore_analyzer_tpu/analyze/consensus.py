@@ -296,15 +296,31 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         # ratio (measured: swing ≥ 8% flips some pairs to ratio/2 with
         # ~0.01% residual).  The beat-free duration ratio arbitrates —
         # the same arbiter the reference uses for its half-time flip and
-        # duration-based rubberband fallback.
+        # duration-based rubberband fallback — but only with corroboration:
+        # (1) the windowed tempo ratio must itself agree with the duration
+        #     ratio (within duration_tempo_mismatch_tolerance).  When they
+        #     disagree the files are likely different edits (radio edit vs
+        #     extended mix — the reference's own warning case,
+        #     consensus.py:455-470) and durations are NOT a valid arbiter;
+        # (2) the windowed tempo ratio must side with the octave multiple,
+        #     i.e. sit closer (in log space) to k·regression than to the
+        #     raw regression ratio.  In a genuine DP octave lock the
+        #     windowed ACF evidence stays correct, so this always holds;
+        #     a coincidental duration match cannot pass both gates.
         if (cfg.ibi_octave_rescue and result.ibi_regression_ratio
                 and nc_duration and src_duration and nc_duration > 0):
             dur_ratio = src_duration / nc_duration
             tol = cfg.ibi_octave_tolerance
             base = result.ibi_regression_ratio
-            if abs(base / dur_ratio - 1.0) > tol:
+            dur_tempo_mismatch = (abs(dur_ratio - tempo_ratio) / tempo_ratio
+                                  if tempo_ratio else float("inf"))
+            if (abs(base / dur_ratio - 1.0) > tol
+                    and dur_tempo_mismatch
+                    <= cfg.duration_tempo_mismatch_tolerance):
                 for k in (2.0, 0.5):
-                    if abs(k * base / dur_ratio - 1.0) <= tol:
+                    if (abs(k * base / dur_ratio - 1.0) <= tol
+                            and abs(math.log(k * base / tempo_ratio))
+                            < abs(math.log(base / tempo_ratio))):
                         result.ibi_ratio *= k
                         result.ibi_ci = (result.ibi_ci[0] * k,
                                          result.ibi_ci[1] * k)
@@ -321,15 +337,17 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
                             f"waveform xcorr step.")
                         break
         if cfg.classify_on_ibi and compute_pitch and n_pitch > 0:
-            # v2 (opt-in): the windowed ratio is lag-grid quantized, which
-            # misclassifies constant-tempo material whose grid snap lands
-            # away from the true factor; the beat-time estimators do not
-            # carry that quantization
+            # v2 (the default since round 4; --classify-parity restores the
+            # reference path): the windowed ratio is lag-grid quantized,
+            # which misclassifies constant-tempo material whose grid snap
+            # lands away from the true factor; the beat-time estimators do
+            # not carry that quantization
             best = result.ibi_regression_ratio or result.ibi_ratio
             half_span = max(result.ibi_ci[1] - result.ibi_ci[0], 1e-6) / 2
             result.classification = classify(
                 best, pitch_ratio, (best - half_span, best + half_span),
                 pitch_ci, cfg.pure_nc_tolerance)
+            result.classification_mode = "ibi"
 
     off = float(g(pa.intro_offset)) / sr
     result.intro_offset_sec = off if off > 0 else None

@@ -20,7 +20,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..config import AnalyzerConfig, DEFAULT_CONFIG, bucket_for_duration, \
-    truncation_warning
+    config_for_bucket, truncation_warning
 from ..signal.io import load_audio, WINDOW_SEC, HOP_SEC, \
     ENERGY_GATE_DB, SILENCE_STRIP_DB
 from .consensus import result_from_pair_analysis
@@ -48,7 +48,7 @@ def analyze_arrays(nc_audio: np.ndarray, src_audio: np.ndarray,
     sr = cfg.sample_rate
     max_dur = max(len(nc_audio), len(src_audio)) / sr
     bucket = bucket_for_duration(max_dur)
-    cfg = cfg.replace(max_duration_sec=bucket)
+    cfg = config_for_bucket(cfg, bucket)
     trunc_warn = truncation_warning(max_dur, bucket)
     if trunc_warn:
         _log(f"WARNING: {trunc_warn}")
@@ -96,15 +96,17 @@ def run(
     src_trim_sec: float = 0.0,
     auto_align: bool = False,
     compute_pitch: bool = True,
-    classify_on_ibi: bool = False,
+    classify_on_ibi: bool = True,
     log: Optional[Callable[[str], None]] = print,
 ) -> AnalysisResult:
     """Analyse the tempo and pitch relationship between a nightcore track and
     its source.  Same parameters, defaults, and error behavior as the
     reference entry point (``pipeline.py:23-216``); see the module docstring
-    for the host/device split.  ``classify_on_ibi`` is additive
-    (beyond-reference): classify on the beat-time estimators instead of the
-    grid-quantized windowed ratio (``config.py`` ``classify_on_ibi``)."""
+    for the host/device split.  ``classify_on_ibi`` (beyond-reference,
+    default True) classifies on the beat-time estimators instead of the
+    grid-quantized windowed ratio (``config.py`` ``classify_on_ibi``); pass
+    False (CLI ``--classify-parity``) for the reference's exact
+    classification behavior."""
     def _log(msg: str) -> None:
         if log is not None:
             log(msg)

@@ -30,6 +30,11 @@ class AnalysisResult:
     n_source_tempo_windows: int
     n_nc_tempo_windows: int
     rubberband: dict = field(default_factory=dict)
+    # which tempo evidence produced the classification label: "ibi"
+    # (beat-time estimators — the robust default) or "windowed"
+    # (reference-parity grid-quantized windowed ratio; also the automatic
+    # fallback whenever the IBI pass is invalid)
+    classification_mode: str = "windowed"
 
     # raw per-window data for histograms (GUI)
     src_pitches_raw: Optional[List[Optional[float]]] = None
@@ -68,7 +73,8 @@ class AnalysisResult:
         if self.warnings:
             lines.append("")
 
-        lines.append(f"Classification  : {self.classification}")
+        lines.append(f"Classification  : {self.classification}"
+                     f"  (mode: {self.classification_mode})")
 
         dur_note = ""
         if self.nc_duration and self.src_duration:

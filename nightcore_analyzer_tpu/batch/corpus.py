@@ -19,7 +19,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..config import AnalyzerConfig, DEFAULT_CONFIG, bucket_for_duration
+from ..config import AnalyzerConfig, DEFAULT_CONFIG, bucket_for_duration, \
+    config_for_bucket
 
 __all__ = ["PairBuffers", "pack_pair", "CorpusAnalyzer"]
 
@@ -61,10 +62,18 @@ class CorpusAnalyzer:
     mesh : jax.sharding.Mesh or None — defaults to all devices on one
         ``data`` axis; pass a CPU mesh in tests.
     compute_pitch / auto_align : trace-time pipeline flags.
+    donate : donate the two (B, max_samples) input slabs to the program —
+        frees their HBM (2·B·max_samples·4 bytes, the largest resident
+        buffers) for XLA temporaries, unlocking larger batches.  Callers
+        must NOT reuse a ``put_buffers`` result across ``run_device``
+        calls when on (the benchmark's rep loop does exactly that, so the
+        default stays False; the streaming driver re-puts every batch and
+        turns it on).
     """
 
     def __init__(self, cfg: AnalyzerConfig = DEFAULT_CONFIG, mesh=None, *,
-                 compute_pitch: bool = True, auto_align: bool = False):
+                 compute_pitch: bool = True, auto_align: bool = False,
+                 donate: bool = False):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..models.analyzer import analyze_batch
@@ -117,6 +126,7 @@ class CorpusAnalyzer:
             batched,
             in_shardings=(data2_sh, data_sh, data2_sh, data_sh, data_sh,
                           data_sh),
+            donate_argnums=(0, 2) if donate else (),
         )
         self._jax = jax
 
@@ -256,4 +266,4 @@ class CorpusAnalyzer:
                       base_cfg: AnalyzerConfig = DEFAULT_CONFIG, **kw):
         """Analyzer sized to the smallest bucket holding every duration."""
         bucket = bucket_for_duration(max(durations_sec))
-        return cls(base_cfg.replace(max_duration_sec=bucket), **kw)
+        return cls(config_for_bucket(base_cfg, bucket), **kw)

@@ -30,7 +30,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..config import DEFAULT_CONFIG, bucket_for_duration, truncation_warning
+from ..config import DEFAULT_CONFIG, bucket_for_duration, \
+    config_for_bucket, truncation_warning
 from .corpus import CorpusAnalyzer
 
 __all__ = ["main", "analyze_manifest"]
@@ -123,7 +124,7 @@ def _decode_batch(entries, cfg, load_audio, log, workers: int | None = None):
 
 def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                      compute_pitch: bool = True, resume: bool = False,
-                     classify_on_ibi: bool = False,
+                     classify_on_ibi: bool = True,
                      log=_log) -> Tuple[int, int]:
     """Returns (n_ok, n_failed).
 
@@ -197,11 +198,11 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
         # ── streamed batches: decode N+1 while the device runs N ────────────
         for bucket_sec in sorted(buckets):
             entries = buckets[bucket_sec]
-            cfg = DEFAULT_CONFIG.replace(max_duration_sec=bucket_sec)
-            analyzer = CorpusAnalyzer(cfg, compute_pitch=compute_pitch)
+            cfg = config_for_bucket(DEFAULT_CONFIG, bucket_sec)
+            analyzer = CorpusAnalyzer(cfg, compute_pitch=compute_pitch,
+                                      donate=True)
             # host-side consensus override (device program unchanged)
-            cons_cfg = (cfg.replace(classify_on_ibi=True)
-                        if classify_on_ibi else None)
+            cons_cfg = cfg.replace(classify_on_ibi=classify_on_ibi)
             parts = [entries[lo:lo + batch]
                      for lo in range(0, len(entries), batch)]
 
@@ -268,10 +269,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="skip the chroma pitch stage")
     ap.add_argument("--resume", action="store_true",
                     help="skip pairs already completed in --output")
-    ap.add_argument("--classify-on-ibi", action="store_true",
-                    help="classify on the beat-time estimators instead of "
-                         "the grid-quantized windowed ratio "
-                         "(beyond-reference; see config.classify_on_ibi)")
+    ap.add_argument("--classify-on-ibi", action="store_true", default=True,
+                    help=argparse.SUPPRESS)  # now the default; kept for compat
+    ap.add_argument("--classify-parity", action="store_true",
+                    help="classify on the grid-quantized windowed tempo "
+                         "ratio exactly like the reference (fragile on "
+                         "constant-tempo material); default is the robust "
+                         "beat-time (IBI) classification")
     args = ap.parse_args(argv)
 
     if not args.manifest.is_file():
@@ -281,7 +285,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                     batch=args.batch,
                                     compute_pitch=not args.no_pitch,
                                     resume=args.resume,
-                                    classify_on_ibi=args.classify_on_ibi)
+                                    classify_on_ibi=not args.classify_parity)
     return 0 if n_fail == 0 else 1
 
 

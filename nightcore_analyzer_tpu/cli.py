@@ -64,11 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Automatic intro-offset detection via RMS envelope "
                         "correlation (unreliable on repetitive material; "
                         "prefer --src-trim-sec)")
-    p.add_argument("--classify-on-ibi", action="store_true", default=False,
-                   help="Classify on the beat-time estimators instead of the "
-                        "windowed ratio (beyond-reference: the windowed "
-                        "ratio's BPM-grid snap is 2-5%% at 120-150 BPM, "
-                        "wider than the 2%% classification tolerance)")
+    p.add_argument("--classify-on-ibi", action="store_true", default=True,
+                   help=argparse.SUPPRESS)   # now the default; kept for compat
+    p.add_argument("--classify-parity", action="store_true", default=False,
+                   help="Classify on the grid-quantized windowed tempo ratio "
+                        "exactly like the reference (its BPM-grid snap is "
+                        "2-5%% at 120-150 BPM, wider than the 2%% "
+                        "classification tolerance, so constant-tempo "
+                        "material often misclassifies).  Default is the "
+                        "robust beat-time (IBI) classification.")
     p.add_argument("--quiet", "-q", action="store_true",
                    help="Suppress progress output (errors still go to stderr)")
     return p
@@ -104,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             energy_gate_db=args.energy_gate, silence_strip_db=silence_db,
             src_trim_sec=args.src_trim_sec,
             auto_align=args.auto_align and args.src_trim_sec == 0.0,
-            classify_on_ibi=args.classify_on_ibi,
+            classify_on_ibi=not args.classify_parity,
             log=log)
     except Exception as exc:
         print(f"\nERROR: {exc}", file=sys.stderr)
@@ -112,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
 
     output = {
         "classification": result.classification,
+        "classification_mode": result.classification_mode,
         "tempo_ratio": round(result.tempo_ratio, 8),
         "pitch_ratio": round(result.pitch_ratio, 8),
         "tempo_ci_95": [round(result.tempo_ci[0], 8), round(result.tempo_ci[1], 8)],

@@ -23,7 +23,7 @@ import math
 from functools import cached_property
 
 __all__ = ["AnalyzerConfig", "DEFAULT_CONFIG", "bucket_for_duration",
-           "truncation_warning"]
+           "config_for_bucket", "truncation_warning"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,12 +60,17 @@ class AnalyzerConfig:
     # Parabolic sub-grid interpolation of the ACF tempo peak — beyond the
     # reference's integer-lag quantization; OFF by default for parity.
     tempo_subgrid: bool = False
-    # Classification v2 (beyond-reference, OFF for parity): when the IBI
-    # pass is valid, classify against the beat-time estimators instead of
-    # the grid-quantized windowed ratio — removes the time_stretch_only /
-    # independent_pitch_shift misfires on constant-tempo material, where
-    # every window snaps to the same (slightly wrong) grid BPM.
-    classify_on_ibi: bool = False
+    # Classification v2 (beyond-reference, ON by default since round 4):
+    # when the IBI pass is valid, classify against the beat-time estimators
+    # instead of the grid-quantized windowed ratio — removes the
+    # time_stretch_only / independent_pitch_shift misfires on constant-tempo
+    # material, where every window snaps to the same (slightly wrong) grid
+    # BPM (the reference's own fragility, consensus.py:315-336 fed by
+    # tempo.py:61-68: 28/56 on the bench's pure pairs).  When the IBI pass
+    # is invalid the windowed path is used unchanged.  Set False (CLI
+    # --classify-parity) to reproduce the reference's classification
+    # behavior exactly.
+    classify_on_ibi: bool = True
     # IBI octave rescue (beyond-reference, host-side, ON by default): on
     # heavily swung material the DP beat tracker can lock one side onto the
     # 2-beat swing-pair period, exactly halving (or doubling) every
@@ -112,6 +117,18 @@ class AnalyzerConfig:
     chroma_fmin: float = 32.70319566257483  # C1
     chroma_n_fft: int = 4096                # per-stream FFT size (dual stream)
     chroma_low_octaves: int = 3             # octaves served by the 4x-decimated stream
+    # Per-bin noise-floor subtraction ahead of the octave fold
+    # (beyond-reference, ON by default since round 4): each 20 s chunk's
+    # per-CQT-bin median magnitude over its frames — a stationary-noise
+    # floor estimate — is subtracted (clamped at 0) before folding to
+    # chroma.  Broadband noise raises every bin's floor and washes out the
+    # max-normalized chroma; sparse-in-time musical content barely moves a
+    # 20 s median.  Measured (tools/robustness_sweep.py conditions, 16
+    # pairs): 17 dB SNR pitch grid 11/16 → 16/16, 11 dB 0/16 → 12/16,
+    # clean decisions unchanged.  The floor must be CHUNK-scoped: a 6 s
+    # tile median eats signal (tile-scoped variants measured ≤5/16 at
+    # 17 dB).  False = the reference's plain chroma_cqt front-end.
+    chroma_floor_sub: bool = True
 
     # ── first-party F0 refinement (sub-semitone; replaces optional MELODIA) ──
     # The reference refines chroma pitch with essentia MELODIA when installed
@@ -278,11 +295,30 @@ DEFAULT_CONFIG = AnalyzerConfig()
 
 #: Duration buckets (seconds).  A pair is analyzed in the smallest bucket that
 #: fits both files; each bucket is a separate XLA compilation (cached).  The
-#: 900 s tier covers extended mixes (the reference analyzes any length,
-#: ``io.py:44-55``); anything beyond the last bucket is truncated WITH an
-#: explicit warning (see ``truncation_warning``), never silently.
+#: 900–1800 s tiers cover extended/DJ mixes (the reference analyzes any
+#: length, ``io.py:44-55``; a 30 min input is its practical ceiling too —
+#: librosa load+CQT at that length); anything beyond the last bucket is
+#: truncated WITH an explicit warning (see ``truncation_warning``), never
+#: silently.
 DURATION_BUCKETS = (30.0, 60.0, 120.0, 180.0, 240.0, 300.0, 420.0, 600.0,
-                    900.0)
+                    900.0, 1200.0, 1800.0)
+
+
+def config_for_bucket(base_cfg: AnalyzerConfig,
+                      bucket_sec: float) -> AnalyzerConfig:
+    """Config for a duration bucket: sets ``max_duration_sec`` and scales the
+    fixed-capacity global beat buffer on the long tiers — a 30 min mix at
+    210 BPM carries ~6300 beats, and with the default 2048 capacity the
+    backtrace would keep only the tail (the IBI medians stay valid but the
+    regression estimator's span shrinks).  Capacities are chosen so the
+    buffer holds ≥273 BPM over the full bucket; short buckets keep 2048 so
+    their committed compile caches stay valid."""
+    kw = {"max_duration_sec": bucket_sec}
+    if bucket_sec > 900.0:
+        kw["max_beats"] = 8192
+    elif bucket_sec > 600.0:
+        kw["max_beats"] = 4096
+    return base_cfg.replace(**kw)
 
 
 def truncation_warning(duration_sec: float, bucket_sec: float):

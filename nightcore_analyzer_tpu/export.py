@@ -24,6 +24,7 @@ def to_dict(result: AnalysisResult) -> dict:
     """JSON-serializable dict in the reference CLI schema (``export.py:20-48``)."""
     d = {
         "classification": result.classification,
+        "classification_mode": result.classification_mode,
         "warnings": result.warnings,
         "tempo_ratio": round(result.tempo_ratio, 8),
         "pitch_ratio": round(result.pitch_ratio, 8),
@@ -73,6 +74,7 @@ def export_csv(result: AnalysisResult, path: PathLike) -> None:
     rb = result.rubberband
     row = {
         "classification": result.classification,
+        "classification_mode": result.classification_mode,
         "tempo_ratio": round(result.tempo_ratio, 8),
         "pitch_ratio": round(result.pitch_ratio, 8),
         "tempo_ci_95_lo": round(result.tempo_ci[0], 8),

@@ -14,7 +14,7 @@ from pathlib import Path
 
 from PyQt6.QtWidgets import (
     QMainWindow, QWidget, QSplitter, QVBoxLayout, QHBoxLayout, QLabel,
-    QLineEdit, QPushButton, QDoubleSpinBox, QTextEdit, QTabWidget,
+    QLineEdit, QPushButton, QDoubleSpinBox, QCheckBox, QTextEdit, QTabWidget,
     QFileDialog, QMessageBox)
 from PyQt6.QtCore import Qt
 
@@ -47,6 +47,15 @@ class MainWindow(QMainWindow):
         self._hop = self._spin(params, "Hop (s)", 5.0, 0.5, 30.0)
         self._gate = self._spin(params, "Gate (dB)", -40.0, -120.0, 0.0)
         ll.addLayout(params)
+
+        # reference-parity classification toggle (default OFF = robust
+        # beat-time classification; mirrors the CLI --classify-parity flag)
+        self._parity = QCheckBox("Parity classification (reference windowed)")
+        self._parity.setToolTip(
+            "Classify on the grid-quantized windowed tempo ratio exactly "
+            "like the reference (fragile on constant-tempo material). "
+            "Unchecked = robust beat-time (IBI) classification.")
+        ll.addWidget(self._parity)
 
         self._run_btn = QPushButton("Run Analysis")
         self._run_btn.clicked.connect(self._run_analysis)
@@ -108,6 +117,7 @@ class MainWindow(QMainWindow):
         self._win.setValue(session.get("window_sec", 10.0))
         self._hop.setValue(session.get("hop_sec", 5.0))
         self._gate.setValue(session.get("energy_gate_db", -40.0))
+        self._parity.setChecked(bool(session.get("classify_parity", False)))
 
     def _save_session(self):
         session.set_many({
@@ -116,6 +126,7 @@ class MainWindow(QMainWindow):
             "window_sec": self._win.value(),
             "hop_sec": self._hop.value(),
             "energy_gate_db": self._gate.value(),
+            "classify_parity": self._parity.isChecked(),
         })
 
     # ── run ─────────────────────────────────────────────────────────────────
@@ -133,7 +144,8 @@ class MainWindow(QMainWindow):
         self._worker = AnalysisWorker(nc, src, {
             "window_sec": self._win.value(),
             "hop_sec": self._hop.value(),
-            "energy_gate_db": self._gate.value()})
+            "energy_gate_db": self._gate.value(),
+            "classify_parity": self._parity.isChecked()})
         self._worker.log_line.connect(self._log.append)
         self._worker.finished_result.connect(self._on_finished)
         self._worker.start()

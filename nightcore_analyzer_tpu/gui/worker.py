@@ -29,6 +29,7 @@ class AnalysisWorker(QThread):
                 window_sec=self._params.get("window_sec", 10.0),
                 hop_sec=self._params.get("hop_sec", 5.0),
                 energy_gate_db=self._params.get("energy_gate_db", -40.0),
+                classify_on_ibi=not self._params.get("classify_parity", False),
                 log=self.log_line.emit)
             self.finished_result.emit(result)
         except Exception as exc:  # surfaced in the UI, never crashes the loop

@@ -36,6 +36,28 @@ from .spectrum import frame_interleaved, interleave_params
 __all__ = ["chunk_chroma_means", "cyclic_xcorr_lag"]
 
 
+def _masked_bin_floor(mag: jnp.ndarray, valid_col: jnp.ndarray,
+                      n_valid: jnp.ndarray, n_iter: int = 16) -> jnp.ndarray:
+    """Per-bin masked lower-median magnitude via bisection — the chunk's
+    stationary-noise floor (``config.chroma_floor_sub``).  ``mag``:
+    (F, bins) ≥ 0; ``valid_col``: (F, 1) bool; ``n_valid``: scalar count.
+    EXACTLY the arithmetic of the Pallas kernel's in-VMEM floor
+    (``pallas/chromacq.py``) so both paths agree to float rounding."""
+    valid = jnp.broadcast_to(valid_col, mag.shape)
+    top = jnp.max(jnp.where(valid, mag, 0.0), axis=0, keepdims=True)
+    lo_b = jnp.zeros_like(top)
+    hi_b = top
+    half = jnp.floor((n_valid.astype(jnp.float32) + 1.0) * 0.5)
+    for _ in range(n_iter):
+        mid = 0.5 * (lo_b + hi_b)
+        cnt = jnp.sum(jnp.where(valid & (mag <= mid), 1.0, 0.0),
+                      axis=0, keepdims=True)
+        ge = cnt >= half
+        hi_b = jnp.where(ge, mid, hi_b)
+        lo_b = jnp.where(ge, lo_b, mid)
+    return 0.5 * (lo_b + hi_b)
+
+
 @lru_cache(maxsize=4)
 def _bases(cfg: AnalyzerConfig):
     bpo = cfg.chroma_bins_per_octave
@@ -165,9 +187,13 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
     if use_time_kernels:
         lo_tb, hi_tb = _time_bases(cfg)
 
-    # ── fused Pallas path (TPU): framing + CQT + fold + normalize + masked
-    # frame-sum per tile in VMEM (ops/pallas/chromacq.py) — the scan below
-    # spent 22% of the whole corpus program on frame-tensor HBM traffic ──
+    f_valid_all = tile_fvalid.reshape(cfg.max_chunks, n_fchunks)[:, 0]
+
+    # ── fused Pallas path (TPU): framing + CQT + floor + fold + normalize +
+    # masked frame-sum per CHUNK in VMEM (ops/pallas/chromacq.py) — the scan
+    # below spent 22% of the whole corpus program on frame-tensor HBM
+    # traffic, and the chunk-scoped grid (round 4) lets the per-bin
+    # noise-floor median see all of a chunk's frames before the fold ──
     from .pallas import chromacq
     if use_time_kernels and chromacq.supported(n_fft, hop_hi, fchunk):
         rows_hi = fchunk + 8           # per-phase rows; frame j row a →
@@ -187,40 +213,56 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
                 t_lo.append(jax.lax.slice_in_dim(
                     y4pad, s_lo, s_lo + span_lo3, axis=-1
                 ).reshape(rows_lo, 128))
-        tile_sums = chromacq.chroma_tile_sums(
-            jnp.stack(t_hi), jnp.stack(t_lo), tile_fvalid,
-            hi_tb, lo_tb, fchunk=fchunk,
+        chunk_sums = chromacq.chroma_chunk_sums(
+            jnp.stack(t_hi).reshape(cfg.max_chunks, n_fchunks * 4,
+                                    rows_hi, 128),
+            jnp.stack(t_lo).reshape(cfg.max_chunks, n_fchunks,
+                                    rows_lo, 128),
+            f_valid_all, hi_tb, lo_tb, fchunk=fchunk, n_fchunks=n_fchunks,
             n_lo=cfg.chroma_low_octaves * bpo,
             n_hi=(cfg.chroma_n_octaves - cfg.chroma_low_octaves) * bpo,
-            bpo=bpo)
-        chunk_sums = tile_sums.reshape(cfg.max_chunks, n_fchunks, bpo
-                                       ).sum(axis=1)
-        f_valid_all = tile_fvalid.reshape(cfg.max_chunks, n_fchunks)[:, 0]
+            bpo=bpo, floor_sub=cfg.chroma_floor_sub)
         return chunk_sums / jnp.maximum(f_valid_all, 1)[:, None]
 
-    def body(_, tile):
-        seg_hi, seg_lo, f_valid = tile
-        fr_hi = frame_interleaved(seg_hi, fchunk, n_fft, hop_hi)[:fchunk]
-        fr_lo = frame_interleaved(seg_lo, fchunk, n_fft, hop_lo)[:fchunk]
-        if use_time_kernels:
-            cq_lo = jnp.take(_cqt_mag_time(fr_lo, lo_tb), perm_lo[:fchunk], axis=0)
-            cq_hi = jnp.take(_cqt_mag_time(fr_hi, hi_tb), perm_hi[:fchunk], axis=0)
-        else:
-            sp_hi = jnp.fft.rfft(fr_hi * window, axis=-1)
-            sp_lo = jnp.fft.rfft(fr_lo * window, axis=-1)
-            cq_lo = jnp.take(_cqt_mag(sp_lo, lo_basis), perm_lo[:fchunk], axis=0)
-            cq_hi = jnp.take(_cqt_mag(sp_hi, hi_basis), perm_hi[:fchunk], axis=0)
-        cq = jnp.concatenate([cq_lo, cq_hi], axis=-1)
-        ch = cq.reshape(fchunk, cfg.chroma_n_octaves, bpo).sum(axis=1)
+    # ── scan fallback (CPU tests / non-MXU): chunk-major so the per-bin
+    # floor sees the whole chunk, same arithmetic as the kernel ──
+    tiles_hi = tiles_hi.reshape(cfg.max_chunks, n_fchunks, -1)
+    tiles_lo = tiles_lo.reshape(cfg.max_chunks, n_fchunks, -1)
+
+    def body(_, chunk):
+        segs_hi, segs_lo, f_valid = chunk
+        cqs = []
+        for fc in range(n_fchunks):
+            fr_hi = frame_interleaved(segs_hi[fc], fchunk, n_fft,
+                                      hop_hi)[:fchunk]
+            fr_lo = frame_interleaved(segs_lo[fc], fchunk, n_fft,
+                                      hop_lo)[:fchunk]
+            if use_time_kernels:
+                cq_lo = jnp.take(_cqt_mag_time(fr_lo, lo_tb),
+                                 perm_lo[:fchunk], axis=0)
+                cq_hi = jnp.take(_cqt_mag_time(fr_hi, hi_tb),
+                                 perm_hi[:fchunk], axis=0)
+            else:
+                sp_hi = jnp.fft.rfft(fr_hi * window, axis=-1)
+                sp_lo = jnp.fft.rfft(fr_lo * window, axis=-1)
+                cq_lo = jnp.take(_cqt_mag(sp_lo, lo_basis),
+                                 perm_lo[:fchunk], axis=0)
+                cq_hi = jnp.take(_cqt_mag(sp_hi, hi_basis),
+                                 perm_hi[:fchunk], axis=0)
+            cqs.append(jnp.concatenate([cq_lo, cq_hi], axis=-1))
+        cq = jnp.concatenate(cqs, axis=0)             # (F, n_bins) natural
+        local_f = jnp.arange(n_fchunks * fchunk)
+        valid_col = (local_f < f_valid)[:, None]
+        if cfg.chroma_floor_sub:
+            cq = jnp.maximum(
+                cq - _masked_bin_floor(cq, valid_col, f_valid), 0.0)
+        ch = cq.reshape(-1, cfg.chroma_n_octaves, bpo).sum(axis=1)
         peak = jnp.max(ch, axis=-1, keepdims=True)
         ch = jnp.where(peak > 1e-12, ch / jnp.maximum(peak, 1e-12), 0.0)
-        local_f = jnp.arange(fchunk)
-        return None, jnp.sum(
-            jnp.where((local_f < f_valid)[:, None], ch, 0.0), axis=0)
+        return None, jnp.sum(jnp.where(valid_col, ch, 0.0), axis=0)
 
-    _, tile_sums = jax.lax.scan(body, None, (tiles_hi, tiles_lo, tile_fvalid))
-    chunk_sums = tile_sums.reshape(cfg.max_chunks, n_fchunks, bpo).sum(axis=1)
-    f_valid_all = tile_fvalid.reshape(cfg.max_chunks, n_fchunks)[:, 0]
+    _, chunk_sums = jax.lax.scan(
+        body, None, (tiles_hi, tiles_lo, f_valid_all))
     return chunk_sums / jnp.maximum(f_valid_all, 1)[:, None]
 
 

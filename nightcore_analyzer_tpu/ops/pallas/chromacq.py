@@ -1,11 +1,12 @@
-"""Fused per-tile chroma: framing + dual-stream CQT matmuls + chroma fold +
-per-frame normalize + masked frame-sum in one Pallas TPU kernel.
+"""Fused per-chunk chroma: framing + dual-stream CQT matmuls + per-bin
+noise-floor subtraction + chroma fold + per-frame normalize + masked
+frame-sum in one Pallas TPU kernel.
 
 Replaces the ``lax.scan`` tile loop of ``ops/chroma.chunk_chroma_means``:
 profiling the corpus program (round 3) showed that loop at 167 ms of a
 755 ms batch — 22 %, the single largest item — almost entirely HBM traffic
 on the materialized (rows, 4096) frame tensors and their relayouts, not
-MXU work.  Here each tile's frames exist only in VMEM:
+MXU work.  Here each chunk's frames exist only in VMEM:
 
 * the high stream (hop 512 = 4 rows of the (rows, 128) signal view) builds
   frames from four phase-decimated row views — every frame-sample block is
@@ -14,14 +15,22 @@ MXU work.  Here each tile's frames exist only in VMEM:
   frames from directly shifted row slices;
 * CQT magnitudes are bf16 MXU matmuls per stream against the window-folded
   time-domain kernels (``filters.cqt_time_kernels``), zero-padded to full
-  lane blocks (padding columns produce √1e-30 ≈ 0 magnitudes);
+  lane blocks (padding columns produce √1e-30 ≈ 0 magnitudes), accumulated
+  into per-chunk VMEM scratch;
+* round 4: the grid is per CHUNK (all of a 20 s chunk's frame tiles in one
+  kernel instance) so the per-bin noise floor — the masked median
+  magnitude over the chunk's valid frames, found by 16 bisection passes —
+  can be subtracted before the fold (``config.chroma_floor_sub``; the
+  floor must be chunk-scoped: 6 s tile medians eat signal — see
+  config.py).  The same bisection runs in the scan fallback
+  (``chroma._masked_bin_floor``) so both paths agree bit-for-bit-ish;
 * the chroma fold over octaves is ANOTHER matmul per stream (0/1 fold
   matrices — no lane-granular reshapes or concats), then the per-frame
   max-normalize and the frame-validity-masked sum, so the kernel emits one
-  (bpo,) sum per tile instead of a (rows, 4096) round trip to HBM.
+  (bpo,) sum per chunk instead of a (rows, 4096) round trip to HBM.
 
 Frames come out in natural time order (no interleave permutation), and the
-tile output equals what ``chunk_chroma_means``'s scan body produced, so
+chunk output equals what ``chunk_chroma_means``'s scan path produces, so
 the caller's chunk reduction is unchanged.
 """
 
@@ -35,11 +44,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["supported", "chroma_tile_sums"]
+__all__ = ["supported", "chroma_chunk_sums"]
 
 _N_FFT = 4096
 _HOP_HI = 512
 _LANES = 128
+_FLOOR_ITERS = 16
 
 
 def supported(n_fft: int, hop: int, fchunk: int) -> bool:
@@ -57,14 +67,16 @@ def _fold_matrix(n_rows: int, n_bins: int, bpo: int, bpo_pad: int):
     return f
 
 
-def _make_kernel(fchunk: int, bpo: int):
+def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool):
     n_blocks = _N_FFT // _LANES
+    F = n_fchunks * fchunk
 
     def kernel(fv_ref, hi_ref, lo_ref, khi_re_ref, khi_im_ref,
-               klo_re_ref, klo_im_ref, fold_hi_ref, fold_lo_ref, out_ref):
+               klo_re_ref, klo_im_ref, fold_hi_ref, fold_lo_ref, out_ref,
+               mag_hi_ref, mag_lo_ref):
         bf = jnp.bfloat16
 
-        def chroma_part(slice_a, kre_ref, kim_ref, fold_ref):
+        def mags_tile(slice_a, kre_ref, kim_ref):
             # accumulate over the 32 frame-sample lane blocks — each block
             # is a plain row slice, no (fchunk, 4096) concat materializes
             re = im = 0.0
@@ -78,50 +90,85 @@ def _make_kernel(fchunk: int, bpo: int):
                                   preferred_element_type=jnp.float32)
                 im = im + jnp.dot(fr_a, kb,
                                   preferred_element_type=jnp.float32)
-            mag = jnp.sqrt(re * re + im * im + 1e-30)
-            return jnp.dot(mag.astype(bf), fold_ref[:],
-                           preferred_element_type=jnp.float32)
+            return jnp.sqrt(re * re + im * im + 1e-30)
 
-        ch = (chroma_part(lambda a: lo_ref[0, a: a + fchunk, :],
-                          klo_re_ref, klo_im_ref, fold_lo_ref) +
-              chroma_part(lambda a: hi_ref[0, a % 4,
-                                           a // 4: a // 4 + fchunk, :],
-                          khi_re_ref, khi_im_ref, fold_hi_ref))
+        # ── all the chunk's tiles → magnitude scratch (F, bins) ────────────
+        for fc in range(n_fchunks):
+            mag_lo_ref[fc * fchunk:(fc + 1) * fchunk, :] = mags_tile(
+                lambda a: lo_ref[0, fc, a: a + fchunk, :],
+                klo_re_ref, klo_im_ref)
+            mag_hi_ref[fc * fchunk:(fc + 1) * fchunk, :] = mags_tile(
+                lambda a: hi_ref[0, fc * 4 + a % 4,
+                                 a // 4: a // 4 + fchunk, :],
+                khi_re_ref, khi_im_ref)
+
+        nv = fv_ref[0, 0, 0]                            # valid frames, f32
+        row_col = jax.lax.broadcasted_iota(
+            jnp.float32, (F, 1), 0)
+        valid_col = row_col < nv
+
+        def floored(mag_ref):
+            mag = mag_ref[:]
+            if not floor_sub:
+                return mag
+            # masked lower-median per bin via bisection (chunk-scoped
+            # noise-floor estimate; see config.chroma_floor_sub)
+            valid = jnp.broadcast_to(valid_col, mag.shape)
+            top = jnp.max(jnp.where(valid, mag, 0.0), axis=0, keepdims=True)
+            lo_b = jnp.zeros_like(top)
+            hi_b = top
+            half = jnp.floor((nv + 1.0) * 0.5)
+            for _ in range(_FLOOR_ITERS):
+                mid = 0.5 * (lo_b + hi_b)
+                cnt = jnp.sum(jnp.where(valid & (mag <= mid), 1.0, 0.0),
+                              axis=0, keepdims=True)
+                ge = cnt >= half
+                hi_b = jnp.where(ge, mid, hi_b)
+                lo_b = jnp.where(ge, lo_b, mid)
+            return jnp.maximum(mag - 0.5 * (lo_b + hi_b), 0.0)
+
+        ch = (jnp.dot(floored(mag_lo_ref).astype(bf), fold_lo_ref[:],
+                      preferred_element_type=jnp.float32) +
+              jnp.dot(floored(mag_hi_ref).astype(bf), fold_hi_ref[:],
+                      preferred_element_type=jnp.float32))
         lane = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 1)
         peak = jnp.max(jnp.where(lane < bpo, ch, -jnp.inf),
                        axis=-1, keepdims=True)
         ch = jnp.where((peak > 1e-12) & (lane < bpo),
                        ch / jnp.maximum(peak, 1e-12), 0.0)
-        row = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 0)
-        valid = row < fv_ref[0, 0, 0].astype(jnp.int32)
-        sums = jnp.sum(jnp.where(valid, ch, 0.0), axis=0)   # (bpo_pad,)
+        row = jax.lax.broadcasted_iota(jnp.float32, ch.shape, 0)
+        sums = jnp.sum(jnp.where(row < nv, ch, 0.0), axis=0)   # (bpo_pad,)
         out_ref[0] = jnp.broadcast_to(sums[None, :], out_ref.shape[1:])
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("fchunk", "n_lo", "n_hi", "bpo",
-                                   "interpret"))
-def chroma_tile_sums(tiles_hi4: jnp.ndarray, tiles_lo: jnp.ndarray,
-                     tile_fvalid: jnp.ndarray,
-                     khi: tuple, klo: tuple, *,
-                     fchunk: int, n_lo: int, n_hi: int, bpo: int,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Per-tile masked chroma sums.
+@partial(jax.jit, static_argnames=("fchunk", "n_fchunks", "n_lo", "n_hi",
+                                   "bpo", "floor_sub", "interpret"))
+def chroma_chunk_sums(chunks_hi4: jnp.ndarray, chunks_lo: jnp.ndarray,
+                      chunk_fvalid: jnp.ndarray,
+                      khi: tuple, klo: tuple, *,
+                      fchunk: int, n_fchunks: int, n_lo: int, n_hi: int,
+                      bpo: int, floor_sub: bool = True,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Per-chunk masked chroma sums.
 
-    ``tiles_hi4``: (T, 4, rows_hi, 128) 4-phase row views of each tile's
-    native-rate samples (phase q holds rows 4m+q of the tile's
-    (rows, 128) view); ``tiles_lo``: (T, rows_lo, 128) rows of the
-    4×-decimated stream; ``tile_fvalid``: (T,) valid frame counts;
-    ``khi``/``klo``: (k_re, k_im) window-folded time-domain CQT kernels,
-    shapes (4096, n_hi) / (4096, n_lo).
+    ``chunks_hi4``: (C, n_fchunks·4, rows_hi, 128) 4-phase row views of each
+    tile's native-rate samples (tile fc, phase q at index fc·4+q; phase q
+    holds rows 4m+q of the tile's (rows, 128) view); ``chunks_lo``:
+    (C, n_fchunks, rows_lo, 128) rows of the 4×-decimated stream;
+    ``chunk_fvalid``: (C,) valid frame counts per chunk; ``khi``/``klo``:
+    (k_re, k_im) window-folded time-domain CQT kernels, shapes
+    (4096, n_hi) / (4096, n_lo).
 
-    Returns (T, bpo) chroma sums over valid frames (max-normalized per
-    frame), equal to the scan-body output of ``chunk_chroma_means``.
+    Returns (C, bpo) chroma sums over valid frames (per-bin floor
+    subtracted when ``floor_sub``, max-normalized per frame), equal to the
+    scan-path output of ``chunk_chroma_means``.
     """
-    T = tiles_hi4.shape[0]
-    rows_hi = tiles_hi4.shape[2]
-    rows_lo = tiles_lo.shape[1]
+    C = chunks_hi4.shape[0]
+    rows_hi = chunks_hi4.shape[2]
+    rows_lo = chunks_lo.shape[2]
+    F = n_fchunks * fchunk
     bf = jnp.bfloat16
 
     def padk(k, n):
@@ -137,26 +184,29 @@ def chroma_tile_sums(tiles_hi4: jnp.ndarray, tiles_lo: jnp.ndarray,
     fold_lo = jnp.asarray(_fold_matrix(nlo_pad, n_lo, bpo, bpo_pad), bf)
 
     out = pl.pallas_call(
-        _make_kernel(fchunk, bpo),
-        grid=(T,),
-        in_specs=[pl.BlockSpec((1, 8, _LANES), lambda t: (t, 0, 0)),
-                  pl.BlockSpec((1, 4, rows_hi, _LANES),
-                               lambda t: (t, 0, 0, 0)),
-                  pl.BlockSpec((1, rows_lo, _LANES), lambda t: (t, 0, 0)),
-                  pl.BlockSpec((_N_FFT, nhi_pad), lambda t: (0, 0)),
-                  pl.BlockSpec((_N_FFT, nhi_pad), lambda t: (0, 0)),
-                  pl.BlockSpec((_N_FFT, nlo_pad), lambda t: (0, 0)),
-                  pl.BlockSpec((_N_FFT, nlo_pad), lambda t: (0, 0)),
-                  pl.BlockSpec((nhi_pad, bpo_pad), lambda t: (0, 0)),
-                  pl.BlockSpec((nlo_pad, bpo_pad), lambda t: (0, 0)),
+        _make_kernel(fchunk, n_fchunks, bpo, floor_sub),
+        grid=(C,),
+        in_specs=[pl.BlockSpec((1, 8, _LANES), lambda c: (c, 0, 0)),
+                  pl.BlockSpec((1, n_fchunks * 4, rows_hi, _LANES),
+                               lambda c: (c, 0, 0, 0)),
+                  pl.BlockSpec((1, n_fchunks, rows_lo, _LANES),
+                               lambda c: (c, 0, 0, 0)),
+                  pl.BlockSpec((_N_FFT, nhi_pad), lambda c: (0, 0)),
+                  pl.BlockSpec((_N_FFT, nhi_pad), lambda c: (0, 0)),
+                  pl.BlockSpec((_N_FFT, nlo_pad), lambda c: (0, 0)),
+                  pl.BlockSpec((_N_FFT, nlo_pad), lambda c: (0, 0)),
+                  pl.BlockSpec((nhi_pad, bpo_pad), lambda c: (0, 0)),
+                  pl.BlockSpec((nlo_pad, bpo_pad), lambda c: (0, 0)),
                   ],
-        out_specs=pl.BlockSpec((1, 8, bpo_pad), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, 8, bpo_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, bpo_pad), lambda c: (c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((C, 8, bpo_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((F, nhi_pad), jnp.float32),
+                        pltpu.VMEM((F, nlo_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(jnp.broadcast_to(
-          tile_fvalid.astype(jnp.float32)[:, None, None], (T, 8, _LANES)),
-      tiles_hi4, tiles_lo,
+          chunk_fvalid.astype(jnp.float32)[:, None, None], (C, 8, _LANES)),
+      chunks_hi4, chunks_lo,
       khi_re, khi_im, klo_re, klo_im, fold_hi, fold_lo)
     return out[:, 0, :bpo]

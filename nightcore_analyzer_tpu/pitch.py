@@ -22,7 +22,7 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
-from .config import AnalyzerConfig, bucket_for_duration
+from .config import AnalyzerConfig, bucket_for_duration, config_for_bucket
 
 __all__ = ["CHROMA_BINS_PER_OCTAVE", "CHROMA_HOP_LENGTH", "CHUNK_SEC",
            "MIN_CHUNKS", "MELODIA_AGREE_ST",
@@ -62,7 +62,7 @@ def estimate_pitch_chroma(src_audio: np.ndarray, nc_audio: np.ndarray,
     """
     import jax.numpy as jnp
     bucket = bucket_for_duration(max(len(src_audio), len(nc_audio)) / sr)
-    cfg = AnalyzerConfig(sample_rate=sr, max_duration_sec=bucket)
+    cfg = config_for_bucket(AnalyzerConfig(sample_rate=sr), bucket)
 
     def pad(y):
         buf = np.zeros(cfg.max_samples, np.float32)
@@ -162,7 +162,7 @@ def estimate_pitch_tpu_f0(src_audio: np.ndarray, nc_audio: np.ndarray,
     per-frame F0s (subsampled to ≤ 2000), or ``None`` when either side has
     no voiced frames."""
     bucket = bucket_for_duration(max(len(src_audio), len(nc_audio)) / sr)
-    cfg = AnalyzerConfig(sample_rate=sr, max_duration_sec=bucket)
+    cfg = config_for_bucket(AnalyzerConfig(sample_rate=sr), bucket)
     run = _f0_fn(cfg)
 
     def voiced(audio):

@@ -15,7 +15,7 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-from .config import AnalyzerConfig, bucket_for_duration
+from .config import AnalyzerConfig, bucket_for_duration, config_for_bucket
 from .signal.io import AudioWindow
 
 __all__ = ["MIN_BEATS", "AGREEMENT_TOLERANCE", "HOP_LENGTH",
@@ -121,8 +121,8 @@ def estimate_ibis_global(y: np.ndarray, sr: int,
     import jax.numpy as jnp
     y = np.asarray(y, np.float32)
     bucket = bucket_for_duration(len(y) / sr)
-    cfg = AnalyzerConfig(sample_rate=sr, ibi_hop=hop_length,
-                         max_duration_sec=bucket)
+    cfg = config_for_bucket(
+        AnalyzerConfig(sample_rate=sr, ibi_hop=hop_length), bucket)
     buf = np.zeros(cfg.max_samples, np.float32)
     n = min(len(y), cfg.max_samples)
     buf[:n] = y[:n]

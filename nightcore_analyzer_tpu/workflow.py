@@ -278,14 +278,15 @@ def _estimate_xcorr(path_a: Path, path_b: Path) -> tuple[float, float]:
     reference xcorr.py:54-162)."""
     import jax.numpy as jnp
     from .signal.io import load_audio
-    from .config import DEFAULT_CONFIG, bucket_for_duration
+    from .config import DEFAULT_CONFIG, bucket_for_duration, \
+        config_for_bucket
     from .ops.verify import estimate_speed_xcorr_arrays
     import jax as _jax
 
     ya, sr = load_audio(str(path_a))
     yb, _ = load_audio(str(path_b))
     bucket = bucket_for_duration(max(len(ya), len(yb)) / sr)
-    cfg = DEFAULT_CONFIG.replace(max_duration_sec=bucket)
+    cfg = config_for_bucket(DEFAULT_CONFIG, bucket)
 
     def pad(y):
         buf = np.zeros(cfg.max_samples, np.float32)
@@ -413,7 +414,8 @@ def _pitch_shift_between(src_path: Path, nc_path: Path) -> Optional[tuple]:
     Prefers the sub-semitone log-spectrum refinement when its agreement
     gate accepts it (the chroma value is 1/3-st grid-quantized, so the
     PS-file correction loop converges much tighter on the refined value)."""
-    from .config import DEFAULT_CONFIG, bucket_for_duration
+    from .config import DEFAULT_CONFIG, bucket_for_duration, \
+        config_for_bucket
     from .analyze.pipeline import analyze_arrays
     from .signal.io import load_audio
 

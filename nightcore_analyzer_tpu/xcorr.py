@@ -15,7 +15,7 @@ from typing import Tuple, Union
 
 import numpy as np
 
-from .config import AnalyzerConfig, bucket_for_duration
+from .config import AnalyzerConfig, bucket_for_duration, config_for_bucket
 
 __all__ = ["XCORR_SR", "XCORR_N_WINDOWS", "XCORR_WINDOW_SEC",
            "XCORR_SEARCH_RANGE", "XCORR_SKIP_EDGES", "XCORR_RMS_GATE",
@@ -75,7 +75,7 @@ def estimate_speed_xcorr(path_a: Union[str, Path], path_b: Union[str, Path],
     ya, _ = load_audio(str(path_a), sr=sr)
     yb, _ = load_audio(str(path_b), sr=sr)
     bucket = bucket_for_duration(max(len(ya), len(yb)) / sr)
-    cfg = AnalyzerConfig(sample_rate=sr, max_duration_sec=bucket)
+    cfg = config_for_bucket(AnalyzerConfig(sample_rate=sr), bucket)
     a, na = _pad(ya, cfg)
     b, nb = _pad(yb, cfg)
     ratio, quality = _verify_fn(cfg)(a, na, b, nb)
@@ -87,7 +87,7 @@ def find_content_offset(src_audio: np.ndarray, nc_audio: np.ndarray,
     """(offset_sec, speed_est) of the source intro not present in the
     nightcore (reference ``xcorr.py:165-259``)."""
     bucket = bucket_for_duration(max(len(src_audio), len(nc_audio)) / sr)
-    cfg = AnalyzerConfig(sample_rate=sr, max_duration_sec=bucket)
+    cfg = config_for_bucket(AnalyzerConfig(sample_rate=sr), bucket)
     s, ns = _pad(src_audio, cfg)
     m, nn = _pad(nc_audio, cfg)
     off, speed = _align_fn(cfg)(s, m, ns, nn)

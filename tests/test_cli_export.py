@@ -57,6 +57,41 @@ def test_cli_success_path(tmp_path, monkeypatch, capsys):
     assert d["rubberband"]["time_ratio"] == 1.25
 
 
+def test_cli_default_is_robust_classification(tmp_path, monkeypatch):
+    """The robust beat-time (IBI) classification is the DEFAULT; the parity
+    flag restores the reference's windowed path (round-4 flip)."""
+    a = tmp_path / "a.flac"
+    b = tmp_path / "b.flac"
+    a.write_bytes(b"x")
+    b.write_bytes(b"x")
+    from nightcore_analyzer_tpu.analyze import pipeline
+    seen = {}
+
+    def fake_run(*args, **kw):
+        seen.update(kw)
+        r = _fake_result()
+        r.classification_mode = "ibi" if kw["classify_on_ibi"] else "windowed"
+        return r
+
+    monkeypatch.setattr(pipeline, "run", fake_run)
+    out = tmp_path / "out.json"
+    rc = cli.main(["-n", str(a), "-s", str(b), "-o", str(out), "-q"])
+    assert rc == 0
+    assert seen["classify_on_ibi"] is True
+    assert json.loads(out.read_text())["classification_mode"] == "ibi"
+
+    rc = cli.main(["-n", str(a), "-s", str(b), "-o", str(out), "-q",
+                   "--classify-parity"])
+    assert rc == 0
+    assert seen["classify_on_ibi"] is False
+    assert json.loads(out.read_text())["classification_mode"] == "windowed"
+
+    # the config default itself (covers workflow/GUI paths that pass
+    # DEFAULT_CONFIG straight into analyze_arrays)
+    from nightcore_analyzer_tpu.config import DEFAULT_CONFIG
+    assert DEFAULT_CONFIG.classify_on_ibi is True
+
+
 def test_cli_analysis_error_exit_1(tmp_path, monkeypatch, capsys):
     a = tmp_path / "a.flac"
     b = tmp_path / "b.flac"

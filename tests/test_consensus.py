@@ -151,18 +151,22 @@ def _mk_pa(true_factor, grid_factor, pitch_ratio, *, ibi_scale=1.0):
 
 
 def test_classification_v2_fixes_grid_misfire():
-    """Opt-in classify_on_ibi: a pure nightcore whose windowed BPM snapped
-    to a grid point away from the true factor misclassifies as
-    independent_pitch_shift under v1; the beat-time estimator fixes it."""
+    """classify_on_ibi (the default since round 4): a pure nightcore whose
+    windowed BPM snapped to a grid point away from the true factor
+    misclassifies under the parity path; the beat-time estimator fixes it."""
     from nightcore_analyzer_tpu.config import AnalyzerConfig
     from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
 
     pa = _mk_pa(1.23, 1.30, 1.23)
-    v1 = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    v1 = result_from_pair_analysis(
+        pa, AnalyzerConfig(max_duration_sec=120.0, classify_on_ibi=False))
     assert v1.classification == "time_stretch_only"         # the grid misfire
-    v2 = result_from_pair_analysis(
-        pa, AnalyzerConfig(max_duration_sec=120.0, classify_on_ibi=True))
+    assert v1.classification_mode == "windowed"
+    # the DEFAULT config must take the robust path
+    v2 = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    assert AnalyzerConfig().classify_on_ibi is True
     assert v2.classification == "pure_nightcore"
+    assert v2.classification_mode == "ibi"
 
 
 def test_ibi_octave_rescue_halftime_lock():
@@ -197,6 +201,29 @@ def test_ibi_octave_rescue_halftime_lock():
     pa3 = _mk_pa(1.23, 1.30, 1.23)
     r3 = result_from_pair_analysis(pa3, AnalyzerConfig(max_duration_sec=120.0))
     assert r3.ibi_octave_corrected is None
+
+
+def test_ibi_octave_rescue_blocked_on_different_edits():
+    """Different edits (radio edit vs extended mix): the duration ratio
+    (2.46, source has an extra section) coincidentally sits at an octave
+    multiple of the correct IBI ratio (1.23).  Durations are NOT a valid
+    arbiter here — the duration-vs-tempo mismatch exceeds
+    duration_tempo_mismatch_tolerance (the reference's own warning case,
+    consensus.py:455-470) — so the rescue must NOT rescale anything."""
+    import pytest
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    # nc 80 s, src 196.8 s (extra 60 s-class section); windowed tempo and all
+    # IBI estimators correctly read the true speed factor 1.23
+    pa = _mk_pa(2.46, 1.23, 1.23, ibi_scale=0.5)    # ibi = 2.46*0.5 = 1.23
+    r = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    assert r.ibi_octave_corrected is None
+    assert r.ibi_regression_ratio == pytest.approx(1.23, rel=1e-6)
+    assert r.ibi_ratio == pytest.approx(1.23, rel=1e-6)
+    assert not any("octave rescue" in w for w in r.warnings)
+    # the different-edits situation itself is surfaced (mismatch warning)
+    assert any("different edits" in w for w in r.warnings)
 
 
 def test_beta_bootstrap_matches_bisect_distribution():

@@ -342,11 +342,56 @@ def test_chromacq_pallas_interpret_matches_scan(rng):
                                    lambda *a: False):
                 want = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, ns, cfg))
     finally:
-        chromacq.chroma_tile_sums.clear_cache()
+        chromacq.chroma_chunk_sums.clear_cache()
 
     assert got.shape == want.shape == (cfg.max_chunks, cfg.chroma_bins_per_octave)
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 0.01                       # bf16 reorder noise floor
+
+
+def test_chroma_floor_sub_recovers_noisy_pitch(rng):
+    """The per-bin chunk-median noise floor (config.chroma_floor_sub, ON by
+    default) keeps the cyclic-xcorr pitch decision correct under broadband
+    noise where the plain front-end fails, and leaves the clean decision
+    unchanged (VERDICT r3 #4; sweep measurements in config.py)."""
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.ops import chroma as chroma_mod
+    from nightcore_analyzer_tpu.ops import resample
+    from nightcore_analyzer_tpu.utils import synth
+
+    sr = 22050
+    cfg = AnalyzerConfig(max_duration_sec=30.0, max_beats=512,
+                         max_beats_window=32)
+    factor = 1.26           # ≈ +4 st → chroma lag 12
+    expect_lag = int(np.round(12.0 * np.log2(factor) * 3.0))
+
+    def chroma_of(y, flag):
+        c = cfg.replace(chroma_floor_sub=flag)
+        buf = np.zeros(c.max_samples, np.float32)
+        buf[:len(y)] = y[:c.max_samples]
+        ys = jnp.asarray(buf)
+        y4 = resample.decimate_pow2(ys[None], 4)[0]
+        ch = chroma_mod.chunk_chroma_means(
+            ys, y4, jnp.asarray(min(len(y), c.max_samples), jnp.int32), c)
+        return np.asarray(ch)
+
+    def lag_of(src, nc, flag):
+        cs, cn = chroma_of(src, flag), chroma_of(nc, flag)
+        lags = [int(chroma_mod.cyclic_xcorr_lag(jnp.asarray(a),
+                                                jnp.asarray(b)))
+                for a, b in zip(cs, cn) if a.any() and b.any()]
+        return int(np.median(lags))
+
+    # noisy pair: ~11 dB SNR — the plain front-end's documented failure
+    src_n = synth.music_like(28.0, sr, bpm=140.0, seed=2, tempo_drift=0.008,
+                             noise_level=0.2)
+    nc_n = synth.speed_shift(src_n, factor)
+    assert lag_of(src_n, nc_n, True) == expect_lag
+    # clean pair: both modes agree on the decision
+    src_c = synth.music_like(28.0, sr, bpm=140.0, seed=2, tempo_drift=0.008)
+    nc_c = synth.speed_shift(src_c, factor)
+    assert lag_of(src_c, nc_c, True) == expect_lag
+    assert lag_of(src_c, nc_c, False) == expect_lag
 
 
 def test_window_acfs_window_longer_than_bucket():

@@ -38,6 +38,7 @@ def main() -> int:
     pitch_exact = pitch_total = 0
     cls_counts = {}
     cls2_counts = {}
+    cls_modes = set()
     warn_counts = {}
     for line in args.results.read_text().splitlines():
         rec = json.loads(line)
@@ -61,6 +62,7 @@ def main() -> int:
                 pitch_exact += 1
         c = rec.get("classification", "?")
         cls_counts[c] = cls_counts.get(c, 0) + 1
+        cls_modes.add(rec.get("classification_mode", "windowed"))
         # classify_on_ibi (v2) replicated from the record fields
         from nightcore_analyzer_tpu.analyze.consensus import classify
         best = rec.get("ibi_regression_ratio") or rec.get("ibi_ratio")
@@ -83,8 +85,9 @@ def main() -> int:
         print(f"{k:24s} n={len(a):4d}  median {np.median(a):.5f}%  "
               f"p95 {np.percentile(a, 95):.5f}%  max {a.max():.5f}%")
     print(f"pitch exact grid point: {pitch_exact}/{pitch_total}")
-    print(f"classifications (parity windowed): {cls_counts}")
-    print(f"classifications (v2 classify_on_ibi): {cls2_counts}")
+    print(f"classifications (as recorded, mode={'/'.join(sorted(cls_modes)) or '?'}): "
+          f"{cls_counts}")
+    print(f"classifications (v2 classify_on_ibi, replicated): {cls2_counts}")
     if warn_counts:
         print("warnings (first clause):")
         for k, v in sorted(warn_counts.items(), key=lambda kv: -kv[1]):
