@@ -103,9 +103,8 @@ def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool):
                 khi_re_ref, khi_im_ref)
 
         nv = fv_ref[0, 0, 0]                            # valid frames, f32
-        row_col = jax.lax.broadcasted_iota(
-            jnp.float32, (F, 1), 0)
-        valid_col = row_col < nv
+        nv_i = nv.astype(jnp.int32)
+        valid_col = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0) < nv_i
 
         def floored(mag_ref):
             mag = mag_ref[:]
@@ -136,8 +135,8 @@ def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool):
                        axis=-1, keepdims=True)
         ch = jnp.where((peak > 1e-12) & (lane < bpo),
                        ch / jnp.maximum(peak, 1e-12), 0.0)
-        row = jax.lax.broadcasted_iota(jnp.float32, ch.shape, 0)
-        sums = jnp.sum(jnp.where(row < nv, ch, 0.0), axis=0)   # (bpo_pad,)
+        row = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 0)
+        sums = jnp.sum(jnp.where(row < nv_i, ch, 0.0), axis=0)  # (bpo_pad,)
         out_ref[0] = jnp.broadcast_to(sums[None, :], out_ref.shape[1:])
 
     return kernel

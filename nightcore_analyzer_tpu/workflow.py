@@ -111,6 +111,11 @@ def _lossy_note(hq: Path) -> Optional[str]:
 
 # ── pipeline wrapper + printers ──────────────────────────────────────────────
 
+#: module-level parity toggle, set by --classify-parity (the interactive
+#: modes all route through _run_pipeline; mirrors the CLI flag)
+CLASSIFY_PARITY = False
+
+
 def _run_pipeline(nightcore: Path, source: Path, step_label: str,
                   src_trim_sec: float = 0.0, compute_pitch: bool = True):
     print()
@@ -123,6 +128,7 @@ def _run_pipeline(nightcore: Path, source: Path, step_label: str,
     return pipeline.run(str(nightcore), str(source),
                         src_trim_sec=src_trim_sec,
                         compute_pitch=compute_pitch,
+                        classify_on_ibi=not CLASSIFY_PARITY,
                         log=lambda m: print(f"  {m}"))
 
 
@@ -672,7 +678,11 @@ def main() -> None:
     import argparse
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--src-trim-sec", type=float, default=0.0)
+    p.add_argument("--classify-parity", action="store_true",
+                   help="reference windowed classification (see cli.py)")
     known, rest = p.parse_known_args(sys.argv[1:])
+    global CLASSIFY_PARITY
+    CLASSIFY_PARITY = known.classify_parity
 
     ncog_arg = rest[0] if len(rest) > 0 else None
     hq_arg = rest[1] if len(rest) > 1 else None
