@@ -296,31 +296,31 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         # ratio (measured: swing ≥ 8% flips some pairs to ratio/2 with
         # ~0.01% residual).  The beat-free duration ratio arbitrates —
         # the same arbiter the reference uses for its half-time flip and
-        # duration-based rubberband fallback — but only with corroboration:
-        # (1) the windowed tempo ratio must itself agree with the duration
-        #     ratio (within duration_tempo_mismatch_tolerance).  When they
-        #     disagree the files are likely different edits (radio edit vs
-        #     extended mix — the reference's own warning case,
-        #     consensus.py:455-470) and durations are NOT a valid arbiter;
-        # (2) the windowed tempo ratio must side with the octave multiple,
-        #     i.e. sit closer (in log space) to k·regression than to the
-        #     raw regression ratio.  In a genuine DP octave lock the
-        #     windowed ACF evidence stays correct, so this always holds;
-        #     a coincidental duration match cannot pass both gates.
+        # duration-based rubberband fallback — EXCEPT when the windowed
+        # tempo ratio corroborates the raw regression while disagreeing
+        # with the duration ratio: then two independent tempo legs outvote
+        # the durations, which is precisely the different-edits situation
+        # (radio edit vs extended mix / excerpted nightcore — the
+        # reference's own warning case, consensus.py:455-470), and
+        # rescaling would corrupt a correct estimate.  When NO two legs
+        # agree (heavy swing can push the windowed ACF onto a 2/3 metrical
+        # level at the same time the DP halves — measured at swing 8%,
+        # bpm 122), the duration ratio remains the only beat-free arbiter
+        # and the rescue proceeds as in the plain-arbitration design.
         if (cfg.ibi_octave_rescue and result.ibi_regression_ratio
                 and nc_duration and src_duration and nc_duration > 0):
             dur_ratio = src_duration / nc_duration
             tol = cfg.ibi_octave_tolerance
+            agree_tol = cfg.duration_tempo_mismatch_tolerance
             base = result.ibi_regression_ratio
-            dur_tempo_mismatch = (abs(dur_ratio - tempo_ratio) / tempo_ratio
-                                  if tempo_ratio else float("inf"))
-            if (abs(base / dur_ratio - 1.0) > tol
-                    and dur_tempo_mismatch
-                    <= cfg.duration_tempo_mismatch_tolerance):
+            w_agrees_reg = (tempo_ratio > 0 and
+                            abs(base / tempo_ratio - 1.0) <= agree_tol)
+            w_agrees_dur = (tempo_ratio > 0 and
+                            abs(dur_ratio / tempo_ratio - 1.0) <= agree_tol)
+            edits_veto = w_agrees_reg and not w_agrees_dur
+            if abs(base / dur_ratio - 1.0) > tol and not edits_veto:
                 for k in (2.0, 0.5):
-                    if (abs(k * base / dur_ratio - 1.0) <= tol
-                            and abs(math.log(k * base / tempo_ratio))
-                            < abs(math.log(base / tempo_ratio))):
+                    if abs(k * base / dur_ratio - 1.0) <= tol:
                         result.ibi_ratio *= k
                         result.ibi_ci = (result.ibi_ci[0] * k,
                                          result.ibi_ci[1] * k)

@@ -203,6 +203,25 @@ def test_ibi_octave_rescue_halftime_lock():
     assert r3.ibi_octave_corrected is None
 
 
+def test_ibi_octave_rescue_fires_when_windowed_also_broken():
+    """Heavy swing can push the windowed ACF onto a 2/3 metrical level at
+    the same time the DP halves (measured: swing 8%, bpm 122 — windowed
+    0.70×true, regression 0.50×true).  NO two legs agree, so the duration
+    ratio stays the arbiter and the rescue must fire (sweep regression of
+    the first round-4 gate design)."""
+    import pytest
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    # true 1.25; windowed snapped to 0.874 (flips to 1.144 — still 8.5%
+    # off the duration ratio); all IBI estimators at 0.625
+    pa = _mk_pa(1.25, 0.8742, 1.25, ibi_scale=0.5)
+    r = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    assert r.ibi_octave_corrected == 2.0
+    assert r.ibi_regression_ratio == pytest.approx(1.25, rel=1e-6)
+    assert any("octave rescue" in w for w in r.warnings)
+
+
 def test_ibi_octave_rescue_blocked_on_different_edits():
     """Different edits (radio edit vs extended mix): the duration ratio
     (2.46, source has an extra section) coincidentally sits at an octave
