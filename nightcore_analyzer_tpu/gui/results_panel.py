@@ -26,7 +26,8 @@ def classification_color(classification: str) -> str:
 def result_summary_fields(result) -> List[Tuple[str, str]]:
     """(label, text) rows for the panel."""
     rows = [
-        ("Classification", result.classification),
+        ("Classification", f"{result.classification}  "
+                           f"(mode: {getattr(result, 'classification_mode', 'windowed')})"),
         ("Tempo ratio", f"{result.tempo_ratio:.6f}  "
                         f"[{result.tempo_ci[0]:.6f}, {result.tempo_ci[1]:.6f}]"),
         ("Pitch ratio", f"{result.pitch_ratio:.6f}  "

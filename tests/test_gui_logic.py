@@ -43,7 +43,8 @@ def test_classification_colors_distinct():
 
 def test_result_summary_fields():
     rows = dict(result_summary_fields(_result()))
-    assert rows["Classification"] == "pure_nightcore"
+    assert rows["Classification"].startswith("pure_nightcore")
+    assert "mode:" in rows["Classification"]
     assert "1.250000" in rows["Tempo ratio"]
     assert "IBI ratio" in rows
     assert "Rubber Band" in rows
