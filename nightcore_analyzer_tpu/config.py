@@ -129,6 +129,14 @@ class AnalyzerConfig:
     # tile median eats signal (tile-scoped variants measured ≤5/16 at
     # 17 dB).  False = the reference's plain chroma_cqt front-end.
     chroma_floor_sub: bool = True
+    # Floor strength: subtract scale·median.  Measured curve (16 pairs,
+    # same harness; hits at clean / 17 dB / 11 dB):
+    # 1.0→16/16/12, 1.2→16/16/13, 1.35→16/16/15, 1.5→16/16/16,
+    # 1.65→15/16/16, 1.8→13/16/16.  1.0 is the default: 1.5 buys the
+    # last 11 dB misses but sits one notch from the clean-accuracy cliff
+    # (1.65 already drops a clean pair) — raise only for known-noisy
+    # material.  Static: baked into the compiled program.
+    chroma_floor_scale: float = 1.0
 
     # ── first-party F0 refinement (sub-semitone; replaces optional MELODIA) ──
     # The reference refines chroma pitch with essentia MELODIA when installed

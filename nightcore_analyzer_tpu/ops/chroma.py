@@ -221,7 +221,8 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
             f_valid_all, hi_tb, lo_tb, fchunk=fchunk, n_fchunks=n_fchunks,
             n_lo=cfg.chroma_low_octaves * bpo,
             n_hi=(cfg.chroma_n_octaves - cfg.chroma_low_octaves) * bpo,
-            bpo=bpo, floor_sub=cfg.chroma_floor_sub)
+            bpo=bpo, floor_sub=cfg.chroma_floor_sub,
+            floor_scale=cfg.chroma_floor_scale)
         return chunk_sums / jnp.maximum(f_valid_all, 1)[:, None]
 
     # ── scan fallback (CPU tests / non-MXU): chunk-major so the per-bin
@@ -254,8 +255,10 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
         local_f = jnp.arange(n_fchunks * fchunk)
         valid_col = (local_f < f_valid)[:, None]
         if cfg.chroma_floor_sub:
-            cq = jnp.maximum(
-                cq - _masked_bin_floor(cq, valid_col, f_valid), 0.0)
+            floor = _masked_bin_floor(cq, valid_col, f_valid)
+            if cfg.chroma_floor_scale != 1.0:   # keep scale-1 HLO unchanged
+                floor = cfg.chroma_floor_scale * floor
+            cq = jnp.maximum(cq - floor, 0.0)
         ch = cq.reshape(-1, cfg.chroma_n_octaves, bpo).sum(axis=1)
         peak = jnp.max(ch, axis=-1, keepdims=True)
         ch = jnp.where(peak > 1e-12, ch / jnp.maximum(peak, 1e-12), 0.0)

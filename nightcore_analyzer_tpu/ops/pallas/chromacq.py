@@ -67,7 +67,8 @@ def _fold_matrix(n_rows: int, n_bins: int, bpo: int, bpo_pad: int):
     return f
 
 
-def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool):
+def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool,
+                 floor_scale: float):
     n_blocks = _N_FFT // _LANES
     F = n_fchunks * fchunk
 
@@ -124,7 +125,8 @@ def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool):
                 ge = cnt >= half
                 hi_b = jnp.where(ge, mid, hi_b)
                 lo_b = jnp.where(ge, lo_b, mid)
-            return jnp.maximum(mag - 0.5 * (lo_b + hi_b), 0.0)
+            return jnp.maximum(
+                mag - floor_scale * 0.5 * (lo_b + hi_b), 0.0)
 
         ch = (jnp.dot(floored(mag_lo_ref).astype(bf), fold_lo_ref[:],
                       preferred_element_type=jnp.float32) +
@@ -143,12 +145,14 @@ def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool):
 
 
 @partial(jax.jit, static_argnames=("fchunk", "n_fchunks", "n_lo", "n_hi",
-                                   "bpo", "floor_sub", "interpret"))
+                                   "bpo", "floor_sub", "floor_scale",
+                                   "interpret"))
 def chroma_chunk_sums(chunks_hi4: jnp.ndarray, chunks_lo: jnp.ndarray,
                       chunk_fvalid: jnp.ndarray,
                       khi: tuple, klo: tuple, *,
                       fchunk: int, n_fchunks: int, n_lo: int, n_hi: int,
                       bpo: int, floor_sub: bool = True,
+                      floor_scale: float = 1.0,
                       interpret: bool = False) -> jnp.ndarray:
     """Per-chunk masked chroma sums.
 
@@ -183,7 +187,7 @@ def chroma_chunk_sums(chunks_hi4: jnp.ndarray, chunks_lo: jnp.ndarray,
     fold_lo = jnp.asarray(_fold_matrix(nlo_pad, n_lo, bpo, bpo_pad), bf)
 
     out = pl.pallas_call(
-        _make_kernel(fchunk, n_fchunks, bpo, floor_sub),
+        _make_kernel(fchunk, n_fchunks, bpo, floor_sub, floor_scale),
         grid=(C,),
         in_specs=[pl.BlockSpec((1, 8, _LANES), lambda c: (c, 0, 0)),
                   pl.BlockSpec((1, n_fchunks * 4, rows_hi, _LANES),

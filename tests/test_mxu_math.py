@@ -393,6 +393,20 @@ def test_chroma_floor_sub_recovers_noisy_pitch(rng):
     assert lag_of(src_c, nc_c, True) == expect_lag
     assert lag_of(src_c, nc_c, False) == expect_lag
 
+    # chroma_floor_scale plumbing: a stronger floor must change the chroma
+    # (measured curve in config.py; the default 1.0 keeps scale-1 HLO
+    # byte-identical to round-4's committed caches)
+    from nightcore_analyzer_tpu.config import AnalyzerConfig as _AC
+    c15 = cfg.replace(chroma_floor_scale=1.5)
+    buf = np.zeros(cfg.max_samples, np.float32)
+    buf[:len(src_n)] = src_n[:cfg.max_samples]
+    ys = jnp.asarray(buf)
+    y4 = resample.decimate_pow2(ys[None], 4)[0]
+    n = jnp.asarray(min(len(src_n), cfg.max_samples), jnp.int32)
+    ch10 = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, cfg))
+    ch15 = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, c15))
+    assert not np.allclose(ch10, ch15)
+
 
 def test_window_acfs_window_longer_than_bucket():
     """window_sec > bucket (f_win > F512) must fall back to the exact
