@@ -48,6 +48,10 @@ CONDITIONS = [
     ("noise 17 dB SNR", dict(tempo_drift=0.008, noise_level=0.1)),
     ("noise 11 dB SNR", dict(tempo_drift=0.008, noise_level=0.2)),
     ("section gains ±50%", dict(tempo_drift=0.008, section_gains=0.5)),
+    # compound stress: the octave rescue must keep firing when the noise
+    # floor is active and the material is both swung AND noisy (round 4)
+    ("swing 8% + 17 dB", dict(tempo_drift=0.008, swing=0.08,
+                              noise_level=0.1)),
 ]
 
 
