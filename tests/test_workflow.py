@@ -135,3 +135,26 @@ def test_full_suite_retry_loop(monkeypatch, tmp_path, capsys):
     # cumulative corrected factor 1.185 × 1.0127
     z, _ = native.decode_native(str(upd1))
     assert len(z) == pytest.approx(len(y) / (1.185 * 1.0127), rel=0.01)
+
+
+def test_classify_parity_flag_plumbs_to_pipeline(monkeypatch, tmp_path):
+    """--classify-parity sets workflow.CLASSIFY_PARITY, and _run_pipeline
+    forwards classify_on_ibi accordingly (round-4 parity surface)."""
+    seen = {}
+
+    def fake_run(nc_path, src_path, **kw):
+        seen.update(kw)
+        return _result(tempo=1.25, ibi=1.25)
+
+    from nightcore_analyzer_tpu.analyze import pipeline as pl
+    monkeypatch.setattr(pl, "run", fake_run)
+    a = tmp_path / "a.flac"
+    b = tmp_path / "b.flac"
+
+    monkeypatch.setattr(workflow, "CLASSIFY_PARITY", False)
+    workflow._run_pipeline(a, b, "step")
+    assert seen["classify_on_ibi"] is True
+
+    monkeypatch.setattr(workflow, "CLASSIFY_PARITY", True)
+    workflow._run_pipeline(a, b, "step")
+    assert seen["classify_on_ibi"] is False
