@@ -183,3 +183,22 @@ def test_ibi_ls_slope_exact_on_clean_ibis():
     vals[0, 7] = 99.0                        # masked value must not matter
     slope = float(_ibi_ls_slope(jnp.asarray(vals), jnp.asarray(mask))[0])
     assert slope == pytest.approx(ibi, rel=1e-6)
+
+
+def test_octave_rescue_veto_on_excerpted_nightcore():
+    """End-to-end different-edits veto through the REAL pipeline: the
+    nightcore is a speed-shifted EXCERPT (first half) of the source, so
+    the duration ratio (~2/FACTOR·... ≈ 2×true) sits exactly on an octave
+    multiple of the correct regression ratio.  Round 3's unconditional
+    duration arbitration would have doubled every IBI estimator here; the
+    round-4 veto (windowed corroborates the raw regression against the
+    durations) must leave them alone and surface the different-edits
+    warning instead.  Also validated on the real chip at 55 s
+    (BENCH_NOTES round-4 notes)."""
+    src = synth.music_like(26.0, 22050, bpm=160.0, seed=5, chord_bars=0.5)
+    nc = synth.speed_shift(src[: len(src) // 2], FACTOR)
+    res, _ = analyze_arrays(nc, src, TINY)
+    assert res.ibi_octave_corrected is None
+    assert res.ibi_regression_ratio == pytest.approx(FACTOR, rel=0.01)
+    assert any("different edits" in w for w in res.warnings)
+    assert not any("octave rescue" in w for w in res.warnings)
