@@ -106,6 +106,13 @@ def main() -> int:
         st = np.asarray(pa.pitch_point_st, np.float64)
         expect = np.round(12.0 * np.log2(factors) * 3.0) / 3.0
         hits = int(np.sum(np.abs(st - expect) < 1e-6))
+        # sub-semitone refined estimator (ops/f0.py log-spectrum xcorr):
+        # cents error where its agreement gate accepted
+        ref_ok = np.asarray(pa.pitch_refined_ok, bool)
+        ref_err_c = np.abs(np.asarray(pa.pitch_refined_st, np.float64)
+                           - 12.0 * np.log2(factors))[ref_ok] * 100.0
+        ref_med = float(np.median(ref_err_c)) if ref_ok.any() else float("nan")
+        ref_n = f"{int(ref_ok.sum())}/{B}"
         # decision-level: through results_from_pa, i.e. including the
         # host-side IBI octave rescue (consensus.py) — what a user sees
         final = np.array([
@@ -121,18 +128,18 @@ def main() -> int:
                      np.median(mean_), np.max(mean_),
                      np.median(reg), np.max(reg),
                      np.nanmedian(fin), np.nanmax(fin),
-                     f"{hits}/{B}", n_rescued))
+                     f"{hits}/{B}", n_rescued, ref_med, ref_n))
 
     print(f"\n### Robustness sweep ({B} pairs × {dur:.0f} s per condition, "
           "pure-nightcore pairs, errors in % of true factor; 'final' = "
           "decision-level regression estimator incl. octave rescue)\n")
     print("| condition | IBI med | IBI max | mean med | mean max "
           "| regr med | regr max | final med | final max | pitch grid "
-          "| rescued |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|")
+          "| rescued | refined med (cents) | refined ok |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r[0]} | " + " | ".join(f"{v:.5f}" for v in r[1:9])
-              + f" | {r[9]} | {r[10]} |")
+              + f" | {r[9]} | {r[10]} | {r[11]:.2f} | {r[12]} |")
     return 0
 
 
