@@ -347,8 +347,18 @@ def main() -> int:
     }
     if not args.skip_selftest:
         out["production_checks"] = checks
+
+    # round-end evidence gate (tools/round_check.py): fail loudly when
+    # MULTICHIP_FULL.json predates a jitted-path change — the CLAUDE.md
+    # checklist, enforced in code (VERDICT r4 task 5)
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    from round_check import check as evidence_check
+    ev_ok, ev_msg = evidence_check()
+    out["evidence"] = {"ok": ev_ok, "multichip_full": ev_msg}
     print(json.dumps(out))
-    return 0 if (acc["ok"] and checks["ok"]) else 3
+    if not ev_ok:
+        log(f"EVIDENCE GATE FAILED: {ev_msg}")
+    return 0 if (acc["ok"] and checks["ok"] and ev_ok) else 3
 
 
 if __name__ == "__main__":

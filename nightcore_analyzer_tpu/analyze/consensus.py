@@ -47,30 +47,57 @@ def classify(tempo_ratio: float, pitch_ratio: float,
     return "ambiguous"
 
 
+def _rb_command(time_ratio: float, pitch_st: float) -> str:
+    return (f"rubberband --time {time_ratio:.6f} --pitch {pitch_st:.4f}"
+            " nightcore.flac reconstructed.flac")
+
+
 def rubberband_params(tempo_ratio: float, pitch_ratio: float,
                       nc_duration: Optional[float] = None,
-                      src_duration: Optional[float] = None) -> dict:
+                      src_duration: Optional[float] = None, *,
+                      time_source: str = "windowed",
+                      pitch_semitones: Optional[float] = None,
+                      pitch_source: str = "chroma_grid",
+                      windowed_time_ratio: Optional[float] = None,
+                      windowed_pitch_ratio: Optional[float] = None) -> dict:
     """Rubber Band parameters to reconstruct the original FROM the nightcore
     (reference ``consensus.py:339-381``): ``--time`` undoes the speed-up,
     ``--pitch = -12·log2(pitch_ratio)`` undoes the net pitch shift; a
-    duration-ratio based alternative is included whenever durations exist."""
-    pitch_st = -12.0 * math.log2(pitch_ratio)
+    duration-ratio based alternative is included whenever durations exist.
+
+    The primary block carries the BEST available estimators (the product is
+    the reconstruction command — feeding it the weakest estimators while
+    0.0002 %-class ones sit in side fields was the round-4 priorities
+    inversion): callers pass the estimator-chain winner as ``tempo_ratio``
+    (labeled by ``time_source``: ``ibi_regression`` → ``ibi_median`` →
+    ``windowed``) and, when the refined pitch passed its agreement gate,
+    its semitone shift via ``pitch_semitones`` (``pitch_source`` =
+    ``refined``; otherwise ``--pitch`` derives from the 1/3-semitone-grid
+    ``pitch_ratio``).  The reference's windowed-detected command stays as
+    the labeled ``windowed_*`` parity block when it differs from the
+    primary source."""
+    pitch_st = (pitch_semitones if pitch_semitones is not None
+                else -12.0 * math.log2(pitch_ratio))
     rb = {
         "time_ratio": round(tempo_ratio, 6),
         "pitch_semitones": round(pitch_st, 4),
         "nc_to_source_speed": round(1.0 / tempo_ratio, 6) if tempo_ratio else None,
-        "cli_command": (f"rubberband --time {tempo_ratio:.6f}"
-                        f" --pitch {pitch_st:.4f}"
-                        " nightcore.flac reconstructed.flac"),
+        "cli_command": _rb_command(tempo_ratio, pitch_st),
+        "time_source": time_source,
+        "pitch_source": pitch_source,
     }
+    if windowed_time_ratio is not None and windowed_pitch_ratio is not None \
+            and windowed_pitch_ratio > 0:
+        w_pitch_st = -12.0 * math.log2(windowed_pitch_ratio)
+        rb["windowed_time_ratio"] = round(windowed_time_ratio, 6)
+        rb["windowed_pitch_semitones"] = round(w_pitch_st, 4)
+        rb["windowed_cli_command"] = _rb_command(windowed_time_ratio, w_pitch_st)
     if nc_duration and src_duration and nc_duration > 0:
         dur_ratio = src_duration / nc_duration
         dur_pitch = -12.0 * math.log2(dur_ratio)
         rb["duration_time_ratio"] = round(dur_ratio, 6)
         rb["duration_pitch_semitones"] = round(dur_pitch, 4)
-        rb["duration_cli_command"] = (f"rubberband --time {dur_ratio:.6f}"
-                                      f" --pitch {dur_pitch:.4f}"
-                                      " nightcore.flac reconstructed.flac")
+        rb["duration_cli_command"] = _rb_command(dur_ratio, dur_pitch)
     return rb
 
 
@@ -154,8 +181,8 @@ def sanity_warnings(tempo_ratio: float, pitch_ratio: float,
                     f"detected ratio ({tempo_ratio:.4f}×) disagrees with the "
                     f"duration ratio ({dur_speed:.4f}×) by {mismatch * 100:.1f}% — "
                     "a BPM-grid quantisation artefact (every window snapped to "
-                    "the same wrong grid BPM). Prefer the 'Duration-based' CLI "
-                    "command over 'CLI (detected)'."
+                    "the same wrong grid BPM). Prefer the primary or "
+                    "'Duration-based' CLI command over 'CLI (windowed)'."
                 )
         else:
             out.append(
@@ -181,7 +208,8 @@ def sanity_warnings(tempo_ratio: float, pitch_ratio: float,
 
 def _finalize(tempo_ratio, tempo_ci, pitch_ratio, pitch_ci,
               nc_duration, src_duration, cfg):
-    """Half-time flip + classification + rubberband + warnings."""
+    """Half-time flip + classification + warnings (the Rubber Band block is
+    assembled separately, after the IBI estimators are known)."""
     corrected = False
     if (nc_duration is not None and src_duration is not None
             and nc_duration < src_duration * 0.99 and tempo_ratio < 1.0):
@@ -191,21 +219,27 @@ def _finalize(tempo_ratio, tempo_ci, pitch_ratio, pitch_ci,
         corrected = True
     cls = classify(tempo_ratio, pitch_ratio, tempo_ci, pitch_ci,
                    cfg.pure_nc_tolerance)
-    rb = rubberband_params(tempo_ratio, pitch_ratio, nc_duration, src_duration)
     warns = sanity_warnings(tempo_ratio, pitch_ratio, tempo_ci, pitch_ci,
                             nc_duration, src_duration, corrected, cfg)
-    return tempo_ratio, tempo_ci, cls, rb, warns, corrected
+    return tempo_ratio, tempo_ci, cls, warns, corrected
 
 
 def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
                               compute_pitch: bool = True,
                               pitch_method: Optional[str] = "chroma_xcorr",
+                              audio_provider=None,
                               ) -> AnalysisResult:
     """Assemble an :class:`AnalysisResult` from a device ``PairAnalysis``.
 
     Raises the same error surface as the reference pipeline: RuntimeError
     when the energy gate removed every window (``pipeline.py:142-146``),
     ValueError when too few tempo windows validated (``consensus.py:543-547``).
+
+    ``audio_provider``: optional zero-arg callable returning the pair's host
+    audio ``(nc, src)`` (mono float32 @ cfg.sample_rate).  Consulted lazily
+    — and only when an octave-rescue deliberation is ambiguous — as the
+    envelope speed-discriminator third leg (:mod:`.envspeed`); ``None``
+    keeps the two-leg (windowed + duration) arbitration.
     """
     g = lambda x: np.asarray(x)  # noqa: E731
     sr = cfg.sample_rate
@@ -237,7 +271,38 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
     tempo_ratio = float(g(pa.tempo_ratio))
     tempo_ci = (float(g(pa.tempo_lo)), float(g(pa.tempo_hi)))
 
-    tempo_ratio, tempo_ci, cls, rb, warns, _ = _finalize(
+    # ── refined pitch (first-party MELODIA replacement) — read before the
+    # classification/warnings so the grid arbitration below can use it
+    refined_st = refined_ci = refined_q = None
+    if compute_pitch and bool(g(pa.pitch_refined_ok)):
+        refined_st = float(g(pa.pitch_refined_st))
+        refined_ci = (float(g(pa.pitch_refined_lo)),
+                      float(g(pa.pitch_refined_hi)))
+        refined_q = float(g(pa.pitch_refined_quality))
+
+    # ── grid-midpoint coin-flip arbitration (beyond-reference, round 5).
+    # The bootstrap pitch median (reference pitch.py:143-153) can land
+    # BETWEEN 1/3-semitone grid points when the chunk votes split evenly —
+    # on the 1 k corpus all 12 grid misses were true factors within
+    # 0.9 cents of a 1/6-st midpoint (coin-flips by construction) while
+    # the refined estimator was ≤0.33 cents on every one.  When the median
+    # sits within pitch_midpoint_tol_st of a midpoint and the refined
+    # estimate is gate-accepted, snap to the grid point nearest the
+    # refined shift (an adjacent-grid tie-break only — never a move of
+    # more than one grid step).
+    pitch_arbitrated = False
+    if (cfg.pitch_grid_arbitration and compute_pitch and n_pitch > 0
+            and refined_st is not None and pitch_ratio > 0):
+        step = 12.0 / cfg.chroma_bins_per_octave
+        point_st = 12.0 * math.log2(pitch_ratio)
+        dist = abs(point_st / step - round(point_st / step)) * step
+        if dist >= step / 2.0 - cfg.pitch_midpoint_tol_st:
+            snapped = round(refined_st / step) * step
+            if abs(snapped - point_st) <= 0.6 * step:
+                pitch_ratio = 2.0 ** (snapped / 12.0)
+                pitch_arbitrated = True
+
+    tempo_ratio, tempo_ci, cls, warns, _ = _finalize(
         tempo_ratio, tempo_ci, pitch_ratio, pitch_ci,
         nc_duration, src_duration, cfg)
 
@@ -264,7 +329,6 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         n_nc_pitch_windows=n_pitch,
         n_source_tempo_windows=n_src_t,
         n_nc_tempo_windows=n_nc_t,
-        rubberband=rb,
         src_pitches_raw=src_pitches_raw,
         nc_pitches_raw=nc_pitches_raw,
         src_tempos_raw=raw_list(pa.src_tempos, pa.src_tempo_mask, pa.src_gate),
@@ -275,13 +339,11 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         src_median_bpm=float(g(pa.src_median_bpm)) if n_src_t else None,
         warnings=warns,
         pitch_method=pitch_method if compute_pitch else None,
+        pitch_refined_st=refined_st,
+        pitch_refined_ci=refined_ci,
+        pitch_refined_quality=refined_q,
+        pitch_grid_arbitrated=pitch_arbitrated,
     )
-
-    if compute_pitch and bool(g(pa.pitch_refined_ok)):
-        result.pitch_refined_st = float(g(pa.pitch_refined_st))
-        result.pitch_refined_ci = (float(g(pa.pitch_refined_lo)),
-                                   float(g(pa.pitch_refined_hi)))
-        result.pitch_refined_quality = float(g(pa.pitch_refined_quality))
 
     if bool(g(pa.ibi_valid)):
         result.ibi_ratio = float(g(pa.ibi_ratio))
@@ -294,48 +356,83 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
         # A swung/shuffled groove can make the DP lock one side onto the
         # 2-beat pair period, exactly halving/doubling every IBI-derived
         # ratio (measured: swing ≥ 8% flips some pairs to ratio/2 with
-        # ~0.01% residual).  The beat-free duration ratio arbitrates —
-        # the same arbiter the reference uses for its half-time flip and
-        # duration-based rubberband fallback — EXCEPT when the windowed
-        # tempo ratio corroborates the raw regression while disagreeing
-        # with the duration ratio: then two independent tempo legs outvote
-        # the durations, which is precisely the different-edits situation
-        # (radio edit vs extended mix / excerpted nightcore — the
-        # reference's own warning case, consensus.py:455-470), and
-        # rescaling would corrupt a correct estimate.  When NO two legs
-        # agree (heavy swing can push the windowed ACF onto a 2/3 metrical
-        # level at the same time the DP halves — measured at swing 8%,
-        # bpm 122), the duration ratio remains the only beat-free arbiter
-        # and the rescue proceeds as in the plain-arbitration design.
+        # ~0.01% residual).  Three arbitration legs, in order of trust:
+        #
+        # 1. Windowed tempo ratio (independent of the DP): when it agrees
+        #    with the duration ratio but not the raw regression, two legs
+        #    outvote the beats → rescue.  When it corroborates the raw
+        #    regression against the durations, that is the different-edits
+        #    situation (radio edit vs extended mix / excerpted nightcore —
+        #    the reference's own warning case, consensus.py:455-470) →
+        #    veto the rescale.
+        # 2. Envelope speed discriminator (:mod:`.envspeed` — the
+        #    reference's independent-verifier discipline, xcorr.py:54-162):
+        #    consulted lazily, audio permitting, whenever leg 1 is
+        #    ambiguous — either the windowed ACF is itself broken (heavy
+        #    swing can push it onto a 2/3 metrical level at the same time
+        #    the DP halves — measured at swing 8%, bpm 122), or the
+        #    windowed veto could itself be a same-level windowed+DP lock
+        #    (round-4 advisor case).  A conclusive NCC margin between the
+        #    two candidate speeds decides; inconclusive keeps leg 1/3.
+        # 3. Duration ratio — the only beat-free arbiter left (the same
+        #    arbiter the reference uses for its half-time flip and
+        #    duration-based rubberband fallback).
         if (cfg.ibi_octave_rescue and result.ibi_regression_ratio
                 and nc_duration and src_duration and nc_duration > 0):
             dur_ratio = src_duration / nc_duration
             tol = cfg.ibi_octave_tolerance
             agree_tol = cfg.duration_tempo_mismatch_tolerance
             base = result.ibi_regression_ratio
-            w_agrees_reg = (tempo_ratio > 0 and
-                            abs(base / tempo_ratio - 1.0) <= agree_tol)
-            w_agrees_dur = (tempo_ratio > 0 and
-                            abs(dur_ratio / tempo_ratio - 1.0) <= agree_tol)
-            edits_veto = w_agrees_reg and not w_agrees_dur
-            if abs(base / dur_ratio - 1.0) > tol and not edits_veto:
-                for k in (2.0, 0.5):
-                    if abs(k * base / dur_ratio - 1.0) <= tol:
-                        result.ibi_ratio *= k
-                        result.ibi_ci = (result.ibi_ci[0] * k,
-                                         result.ibi_ci[1] * k)
-                        result.ibi_refined_ratio *= k
-                        result.ibi_regression_ratio *= k
-                        result.ibi_octave_corrected = k
-                        result.warnings.append(
-                            f"IBI octave rescue: the beat tracker locked one "
-                            f"side onto a {'half' if k == 2.0 else 'double'}"
-                            f"-time grid (raw IBI ratio {base:.4f} vs "
-                            f"duration ratio {dur_ratio:.4f}); all IBI "
-                            f"estimators were rescaled by ×{k:g}. Common on "
-                            f"heavily swung material — verify with the "
-                            f"waveform xcorr step.")
-                        break
+            k = None
+            if abs(base / dur_ratio - 1.0) > tol:
+                k = next((kk for kk in (2.0, 0.5)
+                          if abs(kk * base / dur_ratio - 1.0) <= tol), None)
+            if k is not None:
+                w_agrees_reg = (tempo_ratio > 0 and
+                                abs(base / tempo_ratio - 1.0) <= agree_tol)
+                w_agrees_dur = (tempo_ratio > 0 and
+                                abs(dur_ratio / tempo_ratio - 1.0) <= agree_tol)
+                if w_agrees_dur and not w_agrees_reg:
+                    do_rescue = True            # two legs vs the beats
+                else:
+                    # leg-1 veto (w_agrees_reg) or no two legs agreeing:
+                    # consult the envelope discriminator when audio exists
+                    do_rescue = not (w_agrees_reg and not w_agrees_dur)
+                    if audio_provider is not None:
+                        from .envspeed import envelope_prefers
+                        nc_y, src_y = audio_provider()
+                        prefers_dur = envelope_prefers(
+                            nc_y, src_y, k * base, base,
+                            sr=cfg.sample_rate,
+                            min_score=cfg.rescue_env_min_score,
+                            margin=cfg.rescue_env_margin)
+                        if prefers_dur is not None:
+                            do_rescue = prefers_dur
+                        if prefers_dur is False and do_rescue is False \
+                                and not w_agrees_reg:
+                            result.warnings.append(
+                                f"IBI octave rescue withheld: the raw IBI "
+                                f"regression ({base:.4f}) disagrees with the "
+                                f"duration ratio ({dur_ratio:.4f}) by an "
+                                f"octave multiple, but the envelope "
+                                f"alignment check sides with the IBI "
+                                f"estimators — the files are most likely "
+                                f"different edits.")
+                if do_rescue:
+                    result.ibi_ratio *= k
+                    result.ibi_ci = (result.ibi_ci[0] * k,
+                                     result.ibi_ci[1] * k)
+                    result.ibi_refined_ratio *= k
+                    result.ibi_regression_ratio *= k
+                    result.ibi_octave_corrected = k
+                    result.warnings.append(
+                        f"IBI octave rescue: the beat tracker locked one "
+                        f"side onto a {'half' if k == 2.0 else 'double'}"
+                        f"-time grid (raw IBI ratio {base:.4f} vs "
+                        f"duration ratio {dur_ratio:.4f}); all IBI "
+                        f"estimators were rescaled by ×{k:g}. Common on "
+                        f"heavily swung material — verify with the "
+                        f"waveform xcorr step.")
         if cfg.classify_on_ibi and compute_pitch and n_pitch > 0:
             # v2 (the default since round 4; --classify-parity restores the
             # reference path): the windowed ratio is lag-grid quantized,
@@ -348,6 +445,25 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
                 best, pitch_ratio, (best - half_span, best + half_span),
                 pitch_ci, cfg.pure_nc_tolerance)
             result.classification_mode = "ibi"
+
+    # ── Rubber Band block from the BEST estimators (round 5; the estimator
+    # chain the interactive workflow already trusts, workflow.py HQNC loop):
+    # --time from ibi_regression → ibi_median → windowed, --pitch from the
+    # gate-accepted refined shift, grid fallback otherwise.  The windowed
+    # command stays as the labeled parity field.
+    best_time, time_source = tempo_ratio, "windowed"
+    if result.ibi_ratio is not None:
+        best_time, time_source = result.ibi_ratio, "ibi_median"
+    if result.ibi_regression_ratio:
+        best_time, time_source = result.ibi_regression_ratio, "ibi_regression"
+    best_pitch_st, pitch_source = None, "chroma_grid"
+    if refined_st is not None:
+        best_pitch_st, pitch_source = -refined_st, "refined"
+    result.rubberband = rubberband_params(
+        best_time, pitch_ratio, nc_duration, src_duration,
+        time_source=time_source, pitch_semitones=best_pitch_st,
+        pitch_source=pitch_source,
+        windowed_time_ratio=tempo_ratio, windowed_pitch_ratio=pitch_ratio)
 
     off = float(g(pa.intro_offset)) / sr
     result.intro_offset_sec = off if off > 0 else None
@@ -407,9 +523,14 @@ def build_result(src_pitches: Sequence[Optional[float]],
     tempo_ratio, tempo_ci = _np_bootstrap_ratio(
         nc_tempos, src_tempos, cfg.n_bootstrap, cfg.ci_level)
 
-    tempo_ratio, tempo_ci, cls, rb, warns, _ = _finalize(
+    tempo_ratio, tempo_ci, cls, warns, _ = _finalize(
         tempo_ratio, tempo_ci, pitch_ratio, pitch_ci,
         nc_duration, src_duration, cfg)
+    # list-based callers hold no IBI/refined estimators — the windowed
+    # ratios are the best available and the primary block says so
+    rb = rubberband_params(
+        tempo_ratio, pitch_ratio, nc_duration, src_duration,
+        windowed_time_ratio=tempo_ratio, windowed_pitch_ratio=pitch_ratio)
 
     return AnalysisResult(
         tempo_ratio=tempo_ratio, pitch_ratio=pitch_ratio,

@@ -78,7 +78,9 @@ def analyze_arrays(nc_audio: np.ndarray, src_audio: np.ndarray,
         import numpy as _np
         _np.asarray(pa.tempo_ratio)          # materialize = wait for device
     with timer.stage("consensus"):
-        result = result_from_pair_analysis(pa, cfg, compute_pitch=compute_pitch)
+        result = result_from_pair_analysis(
+            pa, cfg, compute_pitch=compute_pitch,
+            audio_provider=lambda: (nc_audio, src_audio))
     if trunc_warn:
         result.warnings.insert(0, trunc_warn)
     timer.report()

@@ -54,6 +54,10 @@ class AnalysisResult:
     pitch_refined_st: Optional[float] = None
     pitch_refined_ci: Optional[Tuple[float, float]] = None
     pitch_refined_quality: Optional[float] = None
+    # True when the chroma bootstrap median landed on a 1/6-st grid
+    # midpoint (even chunk-vote split) and pitch_ratio was snapped to the
+    # grid point nearest the gate-accepted refined estimate
+    pitch_grid_arbitrated: bool = False
     ibi_ratio: Optional[float] = None
     ibi_ci: Optional[Tuple[float, float]] = None
     ibi_refined_ratio: Optional[float] = None   # mean-IBI (sub-grid) estimate
@@ -136,13 +140,27 @@ class AnalysisResult:
                 f"  (raw detected; ratio = {self.nc_median_bpm / self.src_median_bpm:.6f})")
 
         rb = self.rubberband
+        _src_label = {"ibi_regression": "IBI regression",
+                      "ibi_median": "IBI median",
+                      "windowed": "windowed BPM",
+                      "refined": "refined pitch",
+                      "chroma_grid": "chroma grid"}
         lines.append("")
         if "time_ratio" in rb:
+            ts = _src_label.get(rb.get("time_source", "windowed"), "?")
+            ps = _src_label.get(rb.get("pitch_source", "chroma_grid"), "?")
             lines.append(
                 f"Rubber Band     : --time {rb['time_ratio']:.6f}"
                 f"  --pitch {rb['pitch_semitones']:.4f} st"
-                "  (beat-detected ratio)")
-            lines.append(f"CLI (detected)  : {rb.get('cli_command', '')}")
+                f"  (best estimate: {ts} + {ps})")
+            lines.append(f"CLI (best)      : {rb.get('cli_command', '')}")
+        if rb.get("windowed_cli_command") and \
+                rb.get("time_source", "windowed") != "windowed":
+            lines.append(
+                f"Windowed        : --time {rb['windowed_time_ratio']:.6f}"
+                f"  --pitch {rb['windowed_pitch_semitones']:.4f} st"
+                "  (reference-parity grid-quantized estimators)")
+            lines.append(f"CLI (windowed)  : {rb['windowed_cli_command']}")
         if rb.get("duration_time_ratio"):
             lines.append(
                 f"Duration-based  : --time {rb['duration_time_ratio']:.6f}"

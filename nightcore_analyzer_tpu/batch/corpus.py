@@ -234,7 +234,9 @@ class CorpusAnalyzer:
                 bufs.src_trim[i] = int(src_trim_sec[i] * cfg.sample_rate)
 
         pa, stats = self.analyze_buffers(bufs)
-        results = self.results_from_pa(pa, B)
+        results = self.results_from_pa(
+            pa, B, audio_providers=[
+                lambda nc=nc, src=src: (nc, src) for nc, src in pairs])
         from ..config import truncation_warning
         for i, trunc in enumerate(truncs):
             if trunc > 0 and not isinstance(results[i], str):
@@ -243,20 +245,25 @@ class CorpusAnalyzer:
                     0, truncation_warning(dur, cfg.max_duration_sec))
         return results, stats
 
-    def results_from_pa(self, pa, n: int, cfg: Optional[AnalyzerConfig] = None
-                        ) -> List:
+    def results_from_pa(self, pa, n: int, cfg: Optional[AnalyzerConfig] = None,
+                        audio_providers: Optional[Sequence] = None) -> List:
         """First ``n`` rows of a host-side PairAnalysis → AnalysisResult
         (or error-string) list — the same per-pair error surface as the
         reference pipeline.  ``cfg`` overrides the consensus-stage config
         (host-side decision knobs only, e.g. ``classify_on_ibi``); the
-        device outputs in ``pa`` are unchanged."""
+        device outputs in ``pa`` are unchanged.  ``audio_providers``:
+        optional per-pair zero-arg callables returning host ``(nc, src)``
+        audio, consulted lazily as the octave-rescue third leg (see
+        ``analyze.consensus.result_from_pair_analysis``)."""
         from ..analyze.consensus import result_from_pair_analysis
         results: List = []
         for i in range(n):
             row = self._jax.tree_util.tree_map(lambda x: x[i], pa)
             try:
                 results.append(result_from_pair_analysis(
-                    row, cfg if cfg is not None else self.cfg))
+                    row, cfg if cfg is not None else self.cfg,
+                    audio_provider=(audio_providers[i]
+                                    if audio_providers is not None else None)))
             except (RuntimeError, ValueError) as exc:
                 results.append(str(exc))
         return results

@@ -225,8 +225,19 @@ def analyze_manifest(manifest: Path, output: Path, *, batch: int = 32,
                     dev_args = analyzer.put_buffers(analyzer.pad_batch(bufs))
                 pa, stats = analyzer._unpack(np.asarray(out[0]),
                                              np.asarray(out[1]))
+                # third-leg providers re-decode from disk — the batch's
+                # audio is already freed by the time consensus runs, and
+                # the rescue consults audio for at most a handful of
+                # ambiguous pairs per corpus
+                providers = [
+                    (None if m[3] is not None else
+                     (lambda p=m[1], q=m[2]:
+                      (np.asarray(load_audio(p)[0]),
+                       np.asarray(load_audio(q)[0]))))
+                    for m in cur_metas]
                 results = analyzer.results_from_pa(pa, len(cur_metas),
-                                                   cfg=cons_cfg)
+                                                   cfg=cons_cfg,
+                                                   audio_providers=providers)
                 log(f"  bucket {bucket_sec:.0f}s: batch {bi + 1}/{len(parts)}"
                     f" ({len(cur_metas)} pairs) in {time.time() - t0:.1f}s "
                     f"(mean tempo "
@@ -269,13 +280,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="skip the chroma pitch stage")
     ap.add_argument("--resume", action="store_true",
                     help="skip pairs already completed in --output")
-    ap.add_argument("--classify-on-ibi", action="store_true", default=True,
-                    help=argparse.SUPPRESS)  # now the default; kept for compat
-    ap.add_argument("--classify-parity", action="store_true",
-                    help="classify on the grid-quantized windowed tempo "
-                         "ratio exactly like the reference (fragile on "
-                         "constant-tempo material); default is the robust "
-                         "beat-time (IBI) classification")
+    # shared dest + store_true/false: the pair is genuinely exclusive
+    # (combining them is an argparse error — round-4 advisor finding)
+    cgrp = ap.add_mutually_exclusive_group()
+    cgrp.add_argument("--classify-on-ibi", dest="classify_on_ibi",
+                      action="store_true", default=True,
+                      help=argparse.SUPPRESS)  # the default; kept for compat
+    cgrp.add_argument("--classify-parity", dest="classify_on_ibi",
+                      action="store_false",
+                      help="classify on the grid-quantized windowed tempo "
+                           "ratio exactly like the reference (fragile on "
+                           "constant-tempo material); default is the robust "
+                           "beat-time (IBI) classification")
     args = ap.parse_args(argv)
 
     if not args.manifest.is_file():
@@ -285,7 +301,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                     batch=args.batch,
                                     compute_pitch=not args.no_pitch,
                                     resume=args.resume,
-                                    classify_on_ibi=not args.classify_parity)
+                                    classify_on_ibi=args.classify_on_ibi)
     return 0 if n_fail == 0 else 1
 
 

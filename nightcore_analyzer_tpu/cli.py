@@ -64,10 +64,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Automatic intro-offset detection via RMS envelope "
                         "correlation (unreliable on repetitive material; "
                         "prefer --src-trim-sec)")
-    p.add_argument("--classify-on-ibi", action="store_true", default=True,
-                   help=argparse.SUPPRESS)   # now the default; kept for compat
-    p.add_argument("--classify-parity", action="store_true", default=False,
-                   help="Classify on the grid-quantized windowed tempo ratio "
+    # shared dest + store_true/false makes the pair genuinely exclusive
+    # (combining them is an argparse error, not a silent parity win —
+    # round-4 advisor finding)
+    cgrp = p.add_mutually_exclusive_group()
+    cgrp.add_argument("--classify-on-ibi", dest="classify_on_ibi",
+                      action="store_true", default=True,
+                      help=argparse.SUPPRESS)   # the default; kept for compat
+    cgrp.add_argument("--classify-parity", dest="classify_on_ibi",
+                      action="store_false",
+                      help="Classify on the grid-quantized windowed tempo ratio "
                         "exactly like the reference (its BPM-grid snap is "
                         "2-5%% at 120-150 BPM, wider than the 2%% "
                         "classification tolerance, so constant-tempo "
@@ -108,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
             energy_gate_db=args.energy_gate, silence_strip_db=silence_db,
             src_trim_sec=args.src_trim_sec,
             auto_align=args.auto_align and args.src_trim_sec == 0.0,
-            classify_on_ibi=not args.classify_parity,
+            classify_on_ibi=args.classify_on_ibi,
             log=log)
     except Exception as exc:
         print(f"\nERROR: {exc}", file=sys.stderr)

@@ -83,6 +83,16 @@ class AnalyzerConfig:
     # this extends the same duration-arbitrated idea to octave locks.
     ibi_octave_rescue: bool = True
     ibi_octave_tolerance: float = 0.02
+    # Octave-rescue third leg (host-side, round 5): when the rescue
+    # deliberation is ambiguous (windowed leg broken, or the windowed veto
+    # could itself be a same-level windowed+DP lock), the envelope
+    # speed-candidate discriminator (analyze/envspeed.py) decides IF its
+    # NCC verdict is conclusive — winner ≥ min_score and ahead of the
+    # loser by ≥ margin (measured on the sweep conditions: true-speed
+    # NCC 0.55–0.95, octave-wrong 0.05–0.30; 11 dB noise narrows but
+    # never inverts the gap).  Inconclusive keeps the two-leg behavior.
+    rescue_env_min_score: float = 0.4
+    rescue_env_margin: float = 0.1
     # Frame stride when aggregating the local-ACF tempogram.  1 == librosa
     # semantics (mean over every onset frame).  The global hop-64 pass uses
     # ibi_tempo_stride to bound compute; the aggregate is a mean so striding
@@ -158,6 +168,14 @@ class AnalyzerConfig:
     pitch_refine_max_st: float = 15.0       # spectral-xcorr lag search ±st
     pitch_refine_agree_st: float = 1.5      # MELODIA-style agreement gate
     pitch_refine_min_quality: float = 0.2   # min peak cosine similarity
+    # Grid-midpoint coin-flip arbitration (host-side, round 5): when the
+    # bootstrap pitch median lands within pitch_midpoint_tol_st (2 cents)
+    # of a 1/6-st grid midpoint — an even chunk-vote split, a coin flip by
+    # construction (all 12 misses on the 1 k corpus were this case) — and
+    # the refined estimate passed its agreement gate, snap pitch_ratio to
+    # the grid point nearest the refined shift (adjacent-grid moves only).
+    pitch_grid_arbitration: bool = True
+    pitch_midpoint_tol_st: float = 0.02
 
     # ── consensus (reference consensus.py:52-62) ─────────────────────────────
     n_bootstrap: int = 2000
@@ -309,22 +327,32 @@ DEFAULT_CONFIG = AnalyzerConfig()
 #: truncated WITH an explicit warning (see ``truncation_warning``), never
 #: silently.
 DURATION_BUCKETS = (30.0, 60.0, 120.0, 180.0, 240.0, 300.0, 420.0, 600.0,
-                    900.0, 1200.0, 1800.0)
+                    900.0, 1200.0, 1800.0, 2700.0)
 
 
 def config_for_bucket(base_cfg: AnalyzerConfig,
                       bucket_sec: float) -> AnalyzerConfig:
     """Config for a duration bucket: sets ``max_duration_sec`` and scales the
-    fixed-capacity global beat buffer on the long tiers — a 30 min mix at
-    210 BPM carries ~6300 beats, and with the default 2048 capacity the
-    backtrace would keep only the tail (the IBI medians stay valid but the
-    regression estimator's span shrinks).  Capacities are chosen so the
-    buffer holds ≥273 BPM over the full bucket; short buckets keep 2048 so
-    their committed compile caches stay valid."""
+    fixed-capacity global beat buffer — a 30 min mix at 210 BPM carries
+    ~6300 beats, and with the default 2048 capacity the backtrace would
+    keep only the tail (the IBI medians stay valid but the regression
+    estimator's span shrinks).  Capacities are derived uniformly so the
+    buffer holds ≥273 BPM over the full bucket (240 s → 1092 beats fits
+    2048; 900 s → 4095 fits 4096; 1800 s → 8190 fits 8192; 2700 s → 12285
+    fits 16384); a track even faster than that truncates to the newest
+    beats, which keeps the medians valid.  Shape-history note (the chosen
+    capacity is part of the compiled program's shape, so changing a
+    bucket's tier invalidates its compile cache): round 4 moved the 900 s
+    bucket 2048 → 4096; round 5 moved 300–600 s 2048 → 4096 (covering
+    >273 BPM material at 600 s — round-4 advisor finding) and added the
+    2700 s tier.  The committed warm caches (120 s bench, 180/240 s driver
+    shapes) all sit in the unchanged ≤240 s tier."""
     kw = {"max_duration_sec": bucket_sec}
-    if bucket_sec > 900.0:
+    if bucket_sec > 1800.0:
+        kw["max_beats"] = 16384
+    elif bucket_sec > 900.0:
         kw["max_beats"] = 8192
-    elif bucket_sec > 600.0:
+    elif bucket_sec > 240.0:
         kw["max_beats"] = 4096
     return base_cfg.replace(**kw)
 

@@ -21,7 +21,18 @@ __all__ = ["to_dict", "export_json", "export_csv"]
 
 
 def to_dict(result: AnalysisResult) -> dict:
-    """JSON-serializable dict in the reference CLI schema (``export.py:20-48``)."""
+    """JSON-serializable dict in the reference CLI schema (``export.py:20-48``).
+
+    Additive fields beyond the reference schema (existing consumers keep
+    working; new consumers should prefer them): ``classification_mode``
+    ("ibi" robust default / "windowed" parity), the IBI estimators
+    (``ibi_ratio``/``ibi_mean_ratio``/``ibi_regression_ratio`` +
+    ``ibi_octave_corrected``), the refined pitch
+    (``pitch_refined_st``/``pitch_refined_ci_95`` +
+    ``pitch_grid_arbitrated``), and inside ``rubberband`` the
+    ``time_source``/``pitch_source`` labels plus the ``windowed_*``
+    reference-parity command (the primary ``cli_command`` carries the
+    best-estimate reconstruction)."""
     d = {
         "classification": result.classification,
         "classification_mode": result.classification_mode,
@@ -62,6 +73,8 @@ def to_dict(result: AnalysisResult) -> dict:
         if result.pitch_refined_ci is not None:
             d["pitch_refined_ci_95"] = [round(result.pitch_refined_ci[0], 6),
                                         round(result.pitch_refined_ci[1], 6)]
+    if result.pitch_grid_arbitrated:
+        d["pitch_grid_arbitrated"] = True
     return d
 
 
@@ -89,6 +102,11 @@ def export_csv(result: AnalysisResult, path: PathLike) -> None:
         "rb_pitch_semitones": rb.get("pitch_semitones", ""),
         "rb_nc_to_source_speed": rb.get("nc_to_source_speed", ""),
         "rb_cli_command": rb.get("cli_command", ""),
+        "rb_time_source": rb.get("time_source", ""),
+        "rb_pitch_source": rb.get("pitch_source", ""),
+        "rb_windowed_time_ratio": rb.get("windowed_time_ratio", ""),
+        "rb_windowed_pitch_semitones": rb.get("windowed_pitch_semitones", ""),
+        "rb_windowed_cli_command": rb.get("windowed_cli_command", ""),
         "rb_dur_time_ratio": rb.get("duration_time_ratio", ""),
         "rb_dur_pitch_semitones": rb.get("duration_pitch_semitones", ""),
         "rb_dur_cli_command": rb.get("duration_cli_command", ""),

@@ -134,33 +134,33 @@ def test_truncation_warning_text():
     assert truncation_warning(110.0, 120.0) is None
     w = truncation_warning(700.0, 600.0)
     assert "100.0s" in w and "NOT analyzed" in w
-    # extended/DJ mixes get real tiers; only >1800 s truncates at all
+    # extended/DJ mixes get real tiers; only >2700 s truncates at all
     assert bucket_for_duration(660.0) == 900.0
     assert bucket_for_duration(950.0) == 1200.0
     assert bucket_for_duration(1500.0) == 1800.0
-    assert DURATION_BUCKETS[-1] == 1800.0
+    assert bucket_for_duration(2000.0) == 2700.0
+    assert DURATION_BUCKETS[-1] == 2700.0
 
 
 def test_config_for_bucket_scales_beat_capacity():
-    """Long tiers scale the fixed-capacity beat buffer (a 30 min mix at
-    210 BPM carries ~6300 beats; 2048 would keep only the backtrace tail),
-    while short buckets keep 2048 so their committed caches stay valid."""
+    """Beat-buffer capacities are derived uniformly so every bucket holds
+    ≥273 BPM over its full span (round-5 fix of the 600 s overflow gap);
+    the committed-cache tiers (≤240 s) keep the historical 2048."""
     from nightcore_analyzer_tpu.config import (DEFAULT_CONFIG,
                                                config_for_bucket)
-    for b in (30.0, 120.0, 600.0):
+    for b in (30.0, 120.0, 240.0):
         cfg = config_for_bucket(DEFAULT_CONFIG, b)
         assert cfg.max_duration_sec == b and cfg.max_beats == 2048
-    assert config_for_bucket(DEFAULT_CONFIG, 900.0).max_beats == 4096
-    assert config_for_bucket(DEFAULT_CONFIG, 1200.0).max_beats == 8192
-    cfg = config_for_bucket(DEFAULT_CONFIG, 1800.0)
-    assert cfg.max_beats == 8192
-    # long tiers hold ≥273 BPM over the full bucket (the short tiers keep
-    # the historical 2048 = full coverage to ~205 BPM at 600 s; beyond
-    # that the backtrace keeps the LAST max_beats beats, which the
-    # median/regression estimators handle)
-    for b in (900.0, 1200.0, 1800.0):
-        cfg = config_for_bucket(DEFAULT_CONFIG, b)
-        assert cfg.max_beats >= b * 273.0 / 60.0
+    for b, cap in ((300.0, 4096), (600.0, 4096), (900.0, 4096),
+                   (1200.0, 8192), (1800.0, 8192), (2700.0, 16384)):
+        assert config_for_bucket(DEFAULT_CONFIG, b).max_beats == cap
+    # every tier holds ≥273 BPM over the full bucket; beyond that the
+    # backtrace keeps the LAST max_beats beats, which the
+    # median/regression estimators handle
+    from nightcore_analyzer_tpu.config import DURATION_BUCKETS as BKTS
+    for b in BKTS:
+        assert config_for_bucket(DEFAULT_CONFIG, b).max_beats >= \
+            b * 273.0 / 60.0
 
 
 def test_cli_truncation_warning_end_to_end(tmp_path, monkeypatch, capsys):

@@ -92,6 +92,36 @@ def test_cli_default_is_robust_classification(tmp_path, monkeypatch):
     assert DEFAULT_CONFIG.classify_on_ibi is True
 
 
+def test_exported_command_carries_best_estimators(tmp_path, monkeypatch):
+    """Round 5: the default exported rubberband command (the one a scripted
+    consumer runs verbatim) must carry the regression/refined numbers, with
+    the windowed grid command as the labeled parity field."""
+    from test_consensus import _mk_pa
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    true_st = 3.8631                       # factor 1.25
+    pa = _mk_pa(1.23, 1.30, 1.25, refined_st=true_st)
+    r = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    d = export.to_dict(r)
+    rb = d["rubberband"]
+    assert rb["time_source"] == "ibi_regression"
+    assert rb["time_ratio"] == pytest.approx(d["ibi_regression_ratio"],
+                                             abs=1e-6)
+    assert rb["pitch_source"] == "refined"
+    assert rb["pitch_semitones"] == pytest.approx(-d["pitch_refined_st"],
+                                                  abs=1e-3)
+    assert f"--time {rb['time_ratio']:.6f}" in rb["cli_command"]
+    assert rb["windowed_time_ratio"] == pytest.approx(1.30, abs=1e-6)
+    # CSV carries the same labels
+    p = tmp_path / "r.csv"
+    export.export_csv(r, p)
+    row = list(csv.DictReader(open(p)))[0]
+    assert row["rb_time_source"] == "ibi_regression"
+    assert row["rb_pitch_source"] == "refined"
+    assert row["rb_windowed_cli_command"]
+
+
 def test_cli_analysis_error_exit_1(tmp_path, monkeypatch, capsys):
     a = tmp_path / "a.flac"
     b = tmp_path / "b.flac"

@@ -109,11 +109,13 @@ def test_compute_ibi_ratio():
     assert hi - lo < 0.01
 
 
-def _mk_pa(true_factor, grid_factor, pitch_ratio, *, ibi_scale=1.0):
+def _mk_pa(true_factor, grid_factor, pitch_ratio, *, ibi_scale=1.0,
+           refined_st=None):
     """Crafted PairAnalysis row: durations imply ``true_factor``, the
     windowed tempo snapped to ``grid_factor``, and every IBI estimator
     reads ``true_factor * ibi_scale`` (ibi_scale=0.5 emulates the nc side
-    locking onto the 2-beat swing-pair period)."""
+    locking onto the 2-beat swing-pair period).  ``refined_st`` marks the
+    sub-semitone refinement gate-accepted at that shift."""
     import numpy as np
     import jax.numpy as jnp
     from nightcore_analyzer_tpu.models.analyzer import PairAnalysis
@@ -141,9 +143,12 @@ def _mk_pa(true_factor, grid_factor, pitch_ratio, *, ibi_scale=1.0):
         pitch_point_st=j(12 * np.log2(pitch_ratio)),
         pitch_st_lo=j(12 * np.log2(pitch_ratio)), pitch_st_hi=j(12 * np.log2(pitch_ratio)),
         pitch_ratio=j(pitch_ratio), pitch_lo=j(pitch_ratio), pitch_hi=j(pitch_ratio),
-        pitch_refined_chunk_st=j(np.zeros(chunks)), pitch_refined_st=j(0.0),
-        pitch_refined_lo=j(0.0), pitch_refined_hi=j(0.0),
-        pitch_refined_quality=j(0.0), pitch_refined_ok=j(False, bool),
+        pitch_refined_chunk_st=j(np.zeros(chunks)),
+        pitch_refined_st=j(refined_st or 0.0),
+        pitch_refined_lo=j((refined_st or 0.0) - 0.01),
+        pitch_refined_hi=j((refined_st or 0.0) + 0.01),
+        pitch_refined_quality=j(0.8 if refined_st is not None else 0.0),
+        pitch_refined_ok=j(refined_st is not None, bool),
         ibi_ratio=j(ibi), ibi_lo=j(ibi - 0.001),
         ibi_hi=j(ibi + 0.001), ibi_valid=j(True, bool),
         n_src_ibis=j(200, np.int32), n_nc_ibis=j(200, np.int32),
@@ -243,6 +248,75 @@ def test_ibi_octave_rescue_blocked_on_different_edits():
     assert not any("octave rescue" in w for w in r.warnings)
     # the different-edits situation itself is surfaced (mismatch warning)
     assert any("different edits" in w for w in r.warnings)
+
+
+def test_rubberband_best_estimate_block():
+    """Round 5: the primary Rubber Band command carries the estimator-chain
+    winner (IBI regression + refined pitch), with the windowed-detected
+    command kept as the labeled parity field (the round-4 verdict's
+    output-layer priorities inversion)."""
+    import pytest
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    true_st = 12 * np.log2(1.23)
+    pa = _mk_pa(1.23, 1.30, 1.23, refined_st=true_st)
+    r = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    rb = r.rubberband
+    assert rb["time_source"] == "ibi_regression"
+    assert rb["time_ratio"] == pytest.approx(r.ibi_regression_ratio, abs=1e-6)
+    assert rb["pitch_source"] == "refined"
+    assert rb["pitch_semitones"] == pytest.approx(-true_st, abs=1e-3)
+    assert f"--time {r.ibi_regression_ratio:.6f}" in rb["cli_command"]
+    # windowed parity field keeps the grid-quantized detected values
+    assert rb["windowed_time_ratio"] == pytest.approx(1.30, abs=1e-6)
+    assert "--time 1.300000" in rb["windowed_cli_command"]
+    assert "CLI (best)" in str(r) and "CLI (windowed)" in str(r)
+
+    # no refined acceptance → grid pitch; no IBI → windowed time
+    pa2 = _mk_pa(1.23, 1.30, 1.23)
+    r2 = result_from_pair_analysis(pa2, AnalyzerConfig(max_duration_sec=120.0))
+    assert r2.rubberband["pitch_source"] == "chroma_grid"
+    assert r2.rubberband["pitch_semitones"] == pytest.approx(
+        -12 * np.log2(1.23), abs=1e-3)
+
+
+def test_pitch_grid_midpoint_arbitration():
+    """Round 5: a bootstrap pitch median on a 1/6-st grid midpoint (even
+    chunk-vote split — a coin flip) snaps to the grid point nearest the
+    gate-accepted refined estimate; far-from-midpoint medians and
+    unaccepted refinements are left alone."""
+    import pytest
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    mid_st = 23.0 / 6.0                       # midpoint between 11/3 and 4.0
+    true_st = 3.8631                          # true factor 1.25 → grid 4.0
+    pa = _mk_pa(1.25, 1.25, 2.0 ** (mid_st / 12.0), refined_st=true_st)
+    r = result_from_pair_analysis(pa, AnalyzerConfig(max_duration_sec=120.0))
+    assert r.pitch_grid_arbitrated
+    assert r.pitch_ratio == pytest.approx(2.0 ** (4.0 / 12.0), rel=1e-9)
+    # the corrected value feeds classification and the rubberband grid path
+    assert r.rubberband["pitch_source"] == "refined"
+
+    # exact grid point: untouched
+    pa2 = _mk_pa(1.25, 1.25, 2.0 ** (4.0 / 12.0), refined_st=true_st)
+    r2 = result_from_pair_analysis(pa2, AnalyzerConfig(max_duration_sec=120.0))
+    assert not r2.pitch_grid_arbitrated
+    assert r2.pitch_ratio == pytest.approx(2.0 ** (4.0 / 12.0), rel=1e-6)
+
+    # midpoint but refined not accepted: coin flip stands (documented)
+    pa3 = _mk_pa(1.25, 1.25, 2.0 ** (mid_st / 12.0))
+    r3 = result_from_pair_analysis(pa3, AnalyzerConfig(max_duration_sec=120.0))
+    assert not r3.pitch_grid_arbitrated
+    assert r3.pitch_ratio == pytest.approx(2.0 ** (mid_st / 12.0), rel=1e-6)
+
+    # opt-out
+    pa4 = _mk_pa(1.25, 1.25, 2.0 ** (mid_st / 12.0), refined_st=true_st)
+    r4 = result_from_pair_analysis(
+        pa4, AnalyzerConfig(max_duration_sec=120.0,
+                            pitch_grid_arbitration=False))
+    assert not r4.pitch_grid_arbitrated
 
 
 def test_beta_bootstrap_matches_bisect_distribution():

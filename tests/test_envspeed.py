@@ -1,0 +1,120 @@
+"""Envelope speed-candidate discriminator (analyze/envspeed.py) and its use
+as the octave-rescue third leg (round 5; reference independent-verifier
+discipline, xcorr.py:54-162)."""
+
+import numpy as np
+import pytest
+
+from nightcore_analyzer_tpu.analyze.envspeed import (
+    envelope_speed_scores, envelope_prefers)
+
+SR = 22050
+
+
+def _song(dur_sec, seed=0):
+    """Noise with section-level amplitude structure + a beat pulse — enough
+    envelope detail for speed-candidate discrimination, no tonal content."""
+    rng = np.random.default_rng(seed)
+    n = int(dur_sec * SR)
+    t = np.arange(n) / SR
+    sec = (t // 4.0).astype(int)
+    levels = rng.uniform(0.15, 1.0, sec.max() + 1)
+    beat = 0.55 + 0.45 * np.cos(2 * np.pi * 2.0 * t)   # 120 BPM pulse
+    return (rng.standard_normal(n) * levels[sec] * beat).astype(np.float32)
+
+
+def _speed(y, factor):
+    """Speed up by ``factor`` (sample-drop resample — envelope-exact)."""
+    n_out = int(len(y) / factor)
+    x = np.arange(n_out) * factor
+    return np.interp(x, np.arange(len(y)), y).astype(np.float32)
+
+
+def test_true_speed_outscores_octave_wrong():
+    src = _song(120.0)
+    nc = _speed(src, 1.25)
+    s_true, s_wrong = envelope_speed_scores(nc, src, (1.25, 2.5), SR)
+    assert s_true > 0.6
+    assert s_true - s_wrong > 0.2
+    assert envelope_prefers(nc, src, 1.25, 2.5, sr=SR) is True
+    assert envelope_prefers(nc, src, 2.5, 1.25, sr=SR) is False
+
+
+def test_excerpt_prefers_true_speed_over_duration_octave():
+    """nc is a half-length excerpt sped by 1.23 — the duration ratio sits at
+    2×1.23 but the envelope aligns only at the true speed."""
+    src = _song(120.0, seed=3)
+    nc = _speed(src[: len(src) // 2], 1.23)
+    assert envelope_prefers(nc, src, 2.46, 1.23, sr=SR) is False
+
+
+def test_inconclusive_on_structureless_audio():
+    rng = np.random.default_rng(9)
+    nc = rng.standard_normal(SR * 20).astype(np.float32)
+    src = rng.standard_normal(SR * 30).astype(np.float32)
+    assert envelope_prefers(nc, src, 1.25, 2.5, sr=SR) is None
+
+
+# ── rescue integration (crafted PairAnalysis + real audio third leg) ─────────
+
+def test_rescue_third_leg_overrides_dual_level_veto():
+    """Round-4 advisor case: the windowed ACF doubles onto the SAME metrical
+    level as the DP (both read 2×true), so the two-leg arbiter vetoes a
+    needed rescue; the envelope discriminator sides with the duration and
+    the rescue fires."""
+    from test_consensus import _mk_pa
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    src = _song(120.0, seed=5)
+    nc = _speed(src, 1.25)
+    # durations 1.25, windowed AND IBI estimators doubled to 2.5
+    pa = _mk_pa(1.25, 2.5, 1.25, ibi_scale=2.0)
+    cfg = AnalyzerConfig(max_duration_sec=120.0)
+    # without audio: the veto holds (round-4 behavior)
+    r0 = result_from_pair_analysis(pa, cfg)
+    assert r0.ibi_octave_corrected is None
+    # with audio: the third leg breaks the dual-level tie
+    r = result_from_pair_analysis(pa, cfg, audio_provider=lambda: (nc, src))
+    assert r.ibi_octave_corrected == 0.5
+    assert r.ibi_regression_ratio == pytest.approx(1.25, rel=1e-6)
+
+
+def test_rescue_third_leg_withholds_when_windowed_broken_and_durations_lie():
+    """The round-4 verdict's prescribed case: heavy swing pushes the
+    windowed ACF onto a 3/2 metrical level (agrees with nothing) while the
+    nc is an excerpt whose duration ratio sits at 2× the correct regression
+    — without audio the duration arbitrates (rescue fires, wrongly); the
+    envelope discriminator sides with the IBI estimators and withholds."""
+    from test_consensus import _mk_pa
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    src = _song(120.0, seed=7)
+    nc = _speed(src[: len(src) // 2], 1.23)    # excerpt + speed 1.23
+    # durations imply 2.46; windowed on a 3/2 level (1.845); IBIs correct
+    pa = _mk_pa(2.46, 1.845, 1.23, ibi_scale=0.5)   # regression = 1.23
+    cfg = AnalyzerConfig(max_duration_sec=120.0)
+    r0 = result_from_pair_analysis(pa, cfg)
+    assert r0.ibi_octave_corrected == 2.0           # two-leg design rescales
+    r = result_from_pair_analysis(pa, cfg, audio_provider=lambda: (nc, src))
+    assert r.ibi_octave_corrected is None
+    assert r.ibi_regression_ratio == pytest.approx(1.23, rel=1e-6)
+    assert any("rescue withheld" in w for w in r.warnings)
+
+
+def test_rescue_third_leg_confirms_duration_when_beats_halve():
+    """Plain swing lock (windowed broken, durations honest): the envelope
+    sides with the duration and the rescue proceeds as before."""
+    from test_consensus import _mk_pa
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    src = _song(120.0, seed=11)
+    nc = _speed(src, 1.25)
+    # windowed on a 2/3-ish level after flip; DP halved
+    pa = _mk_pa(1.25, 0.8742, 1.25, ibi_scale=0.5)
+    cfg = AnalyzerConfig(max_duration_sec=120.0)
+    r = result_from_pair_analysis(pa, cfg, audio_provider=lambda: (nc, src))
+    assert r.ibi_octave_corrected == 2.0
+    assert r.ibi_regression_ratio == pytest.approx(1.25, rel=1e-6)

@@ -73,7 +73,13 @@ def test_classification_pure_nightcore(analyzed):
 def test_rubberband_and_export(analyzed):
     from nightcore_analyzer_tpu import export
     res, _ = analyzed
-    assert res.rubberband["time_ratio"] == pytest.approx(res.tempo_ratio, abs=1e-6)
+    # primary block = best-estimate chain (round 5); windowed stays as the
+    # labeled parity field
+    rb = res.rubberband
+    best = res.ibi_regression_ratio or res.ibi_ratio or res.tempo_ratio
+    assert rb["time_ratio"] == pytest.approx(best, abs=1e-6)
+    assert rb["windowed_time_ratio"] == pytest.approx(res.tempo_ratio, abs=1e-6)
+    assert rb["time_source"] in ("ibi_regression", "ibi_median", "windowed")
     d = export.to_dict(res)
     assert d["classification"] == "pure_nightcore"
     assert d["durations"]["duration_ratio"] == pytest.approx(FACTOR, rel=0.01)
