@@ -387,6 +387,37 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
             if abs(base / dur_ratio - 1.0) > tol:
                 k = next((kk for kk in (2.0, 0.5)
                           if abs(kk * base / dur_ratio - 1.0) <= tol), None)
+
+            def _env_prefers_dur():
+                # the two hypotheses are "the durations are honest" (true
+                # speed = dur_ratio — NOT k·base, which under an inexact
+                # lock is a few % off and decorrelates the envelope) vs
+                # "the regression is right" (true speed = base)
+                if audio_provider is None:
+                    return None
+                from .envspeed import envelope_prefers
+                nc_y, src_y = audio_provider()
+                return envelope_prefers(
+                    nc_y, src_y, dur_ratio, base, sr=cfg.sample_rate,
+                    min_score=cfg.rescue_env_min_score,
+                    margin=cfg.rescue_env_margin)
+
+            def _rescale(kk, extra=""):
+                result.ibi_ratio *= kk
+                result.ibi_ci = (result.ibi_ci[0] * kk,
+                                 result.ibi_ci[1] * kk)
+                result.ibi_refined_ratio *= kk
+                result.ibi_regression_ratio *= kk
+                result.ibi_octave_corrected = kk
+                result.warnings.append(
+                    f"IBI octave rescue: the beat tracker locked one "
+                    f"side onto a {'half' if kk == 2.0 else 'double'}"
+                    f"-time grid (raw IBI ratio {base:.4f} vs "
+                    f"duration ratio {dur_ratio:.4f}); all IBI "
+                    f"estimators were rescaled by ×{kk:g}. Common on "
+                    f"heavily swung material — verify with the "
+                    f"waveform xcorr step." + extra)
+
             if k is not None:
                 w_agrees_reg = (tempo_ratio > 0 and
                                 abs(base / tempo_ratio - 1.0) <= agree_tol)
@@ -398,41 +429,40 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
                     # leg-1 veto (w_agrees_reg) or no two legs agreeing:
                     # consult the envelope discriminator when audio exists
                     do_rescue = not (w_agrees_reg and not w_agrees_dur)
-                    if audio_provider is not None:
-                        from .envspeed import envelope_prefers
-                        nc_y, src_y = audio_provider()
-                        prefers_dur = envelope_prefers(
-                            nc_y, src_y, k * base, base,
-                            sr=cfg.sample_rate,
-                            min_score=cfg.rescue_env_min_score,
-                            margin=cfg.rescue_env_margin)
-                        if prefers_dur is not None:
-                            do_rescue = prefers_dur
-                        if prefers_dur is False and do_rescue is False \
-                                and not w_agrees_reg:
-                            result.warnings.append(
-                                f"IBI octave rescue withheld: the raw IBI "
-                                f"regression ({base:.4f}) disagrees with the "
-                                f"duration ratio ({dur_ratio:.4f}) by an "
-                                f"octave multiple, but the envelope "
-                                f"alignment check sides with the IBI "
-                                f"estimators — the files are most likely "
-                                f"different edits.")
+                    prefers_dur = _env_prefers_dur()
+                    if prefers_dur is not None:
+                        do_rescue = prefers_dur
+                    if prefers_dur is False and do_rescue is False \
+                            and not w_agrees_reg:
+                        result.warnings.append(
+                            f"IBI octave rescue withheld: the raw IBI "
+                            f"regression ({base:.4f}) disagrees with the "
+                            f"duration ratio ({dur_ratio:.4f}) by an "
+                            f"octave multiple, but the envelope "
+                            f"alignment check sides with the IBI "
+                            f"estimators — the files are most likely "
+                            f"different edits.")
                 if do_rescue:
-                    result.ibi_ratio *= k
-                    result.ibi_ci = (result.ibi_ci[0] * k,
-                                     result.ibi_ci[1] * k)
-                    result.ibi_refined_ratio *= k
-                    result.ibi_regression_ratio *= k
-                    result.ibi_octave_corrected = k
-                    result.warnings.append(
-                        f"IBI octave rescue: the beat tracker locked one "
-                        f"side onto a {'half' if k == 2.0 else 'double'}"
-                        f"-time grid (raw IBI ratio {base:.4f} vs "
-                        f"duration ratio {dur_ratio:.4f}); all IBI "
-                        f"estimators were rescaled by ×{k:g}. Common on "
-                        f"heavily swung material — verify with the "
-                        f"waveform xcorr step.")
+                    _rescale(k)
+            elif abs(base / dur_ratio - 1.0) > tol:
+                # inexact octave lock (measured: swing + ≤11 dB noise
+                # halves the DP at ~0.51–0.52×, outside the exact
+                # tolerance) — rescale ONLY on a conclusive envelope
+                # verdict for the duration side (config.py
+                # ibi_octave_loose_tolerance)
+                k_loose = next(
+                    (kk for kk in (2.0, 0.5)
+                     if abs(kk * base / dur_ratio - 1.0)
+                     <= cfg.ibi_octave_loose_tolerance), None)
+                if k_loose is not None and _env_prefers_dur():
+                    resid = abs(k_loose * base / dur_ratio - 1.0) * 100.0
+                    _rescale(k_loose, extra=(
+                        f" NOTE: the lock was inexact — after rescaling "
+                        f"the IBI estimators still disagree with the "
+                        f"duration ratio by {resid:.1f}%; beat tracking "
+                        f"is degraded on this material (typically heavy "
+                        f"swing + noise), treat IBI precision as reduced "
+                        f"and prefer the duration-based factor."))
         if cfg.classify_on_ibi and compute_pitch and n_pitch > 0:
             # v2 (the default since round 4; --classify-parity restores the
             # reference path): the windowed ratio is lag-grid quantized,

@@ -93,6 +93,17 @@ class AnalyzerConfig:
     # never inverts the gap).  Inconclusive keeps the two-leg behavior.
     rescue_env_min_score: float = 0.4
     rescue_env_margin: float = 0.1
+    # Loose-tolerance rescue (round 5): compound swing+noise (measured at
+    # swing 8 % + 11 dB SNR) can halve the DP *inexactly* — ~0.51–0.52×
+    # true instead of 0.500× — which the exact-octave check can never
+    # catch (three ~48 % errors in the sweep row).  When no exact octave
+    # candidate exists but one lands within the loose tolerance AND the
+    # envelope discriminator conclusively sides with the duration ratio,
+    # the rescale still applies, with a warning that a residual (~2–3 %)
+    # beat-tracking error remains on this degraded material.  Audio
+    # required (the envelope leg is the only guard against false loose
+    # rescues); without it the raw estimate stands.
+    ibi_octave_loose_tolerance: float = 0.10
     # Frame stride when aggregating the local-ACF tempogram.  1 == librosa
     # semantics (mean over every onset frame).  The global hop-64 pass uses
     # ibi_tempo_stride to bound compute; the aggregate is a mean so striding
@@ -101,6 +112,24 @@ class AnalyzerConfig:
 
     # ── high-precision IBI pass (reference tempo.py:116-117) ────────────────
     ibi_hop: int = 64
+    # Noise-gated onset-envelope baseline subtraction on the hop-64 pass
+    # (beyond-reference, round 5; ops/onset.envelope_floor_sub): broadband
+    # noise adds a near-constant positive-flux baseline that pays the
+    # Ellis-DP for every inserted beat (spurious subdivisions + beat
+    # jitter).  Subtracting the valid-frame median restores the reward
+    # structure — but ONLY noise-floored envelopes are conditioned (the
+    # per-side med/mean gate below): unconditional subtraction converts
+    # heavy-swing octave locks (cleanly rescued by the duration arbiter)
+    # into ~1 % unrescuable beat corruption (measured, sweep swing rows).
+    # Measured with the gate (tools/robustness_sweep.py, 16 pairs): 11 dB
+    # regression 3.0 %→0.002 % median, 10.5 %→0.005 % max; every other
+    # row bit-identical to the ungated baseline (the gate never fires
+    # above ~14 dB SNR — clean/swing ratios 0.45–0.51, 17 dB 0.92–0.93,
+    # 11 dB 0.96–0.97).  OFF reproduces the reference's raw librosa
+    # envelope exactly.
+    ibi_onset_floor_sub: bool = True
+    ibi_onset_floor_scale: float = 1.0
+    ibi_onset_floor_thresh: float = 0.95
     ibi_min_ibis: int = 4
     ibi_glitch_sec: float = 0.05
     ibi_tempo_stride: int = 16
@@ -142,11 +171,33 @@ class AnalyzerConfig:
     # Floor strength: subtract scale·median.  Measured curve (16 pairs,
     # same harness; hits at clean / 17 dB / 11 dB):
     # 1.0→16/16/12, 1.2→16/16/13, 1.35→16/16/15, 1.5→16/16/16,
-    # 1.65→15/16/16, 1.8→13/16/16.  1.0 is the default: 1.5 buys the
-    # last 11 dB misses but sits one notch from the clean-accuracy cliff
-    # (1.65 already drops a clean pair) — raise only for known-noisy
-    # material.  Static: baked into the compiled program.
+    # 1.65→15/16/16, 1.8→13/16/16.  1.0 is the base: 1.5 buys the last
+    # 11 dB misses but sits one notch from the clean-accuracy cliff
+    # (1.65 already drops a clean pair) — clean material should keep the
+    # margin, so the scale is AUTO-SELECTED per side (round 5): the chroma
+    # kernel emits a per-chunk noise proxy (real-bin Σ(per-bin 20 s median
+    # floor)/Σ(per-bin peak) — broadband noise lifts every bin's median
+    # toward its peak, sparse musical content doesn't), the valid-chunk
+    # mean is compared against chroma_floor_noise_thresh, and noisy sides
+    # take chroma_floor_scale_noisy (both folds are computed in-kernel,
+    # ~1 % of its matmul work; one compiled program serves both outcomes).
+    # Measured proxy separation (sweep conditions, 110 s sides on chip,
+    # 8 sides each): clean 0.028–0.041, 17 dB SNR 0.189–0.197, 11 dB
+    # 0.252–0.257 (swing doesn't move it).  Threshold 0.22 fires only
+    # below ~14 dB SNR — where scale 1.0 starts missing — and leaves
+    # 17 dB material (already 16/16 at scale 1.0) on the safe base scale.
+    # A SECOND gate protects sustained tonal content (drones/pads), whose
+    # floor-to-peak proxy is high because its harmonics ARE its floor:
+    # the floor's spectral flatness (gm/am over real bins; measured:
+    # broadband noise 0.93, drone+noise 0.76, clean music 0.20, clean
+    # drone 0.05) must also exceed chroma_floor_flat_thresh — only a
+    # PERVASIVE elevated floor is noise.  Set chroma_floor_auto=False to
+    # pin chroma_floor_scale statically.
     chroma_floor_scale: float = 1.0
+    chroma_floor_auto: bool = True
+    chroma_floor_scale_noisy: float = 1.5
+    chroma_floor_noise_thresh: float = 0.22
+    chroma_floor_flat_thresh: float = 0.6
 
     # ── first-party F0 refinement (sub-semitone; replaces optional MELODIA) ──
     # The reference refines chroma pitch with essentia MELODIA when installed

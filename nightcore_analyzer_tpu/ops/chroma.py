@@ -117,7 +117,7 @@ def _cqt_mag(spec: jnp.ndarray, basis) -> jnp.ndarray:
 
 
 def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
-                       cfg: AnalyzerConfig) -> jnp.ndarray:
+                       cfg: AnalyzerConfig, *, with_proxy: bool = False):
     """Time-averaged chroma per 20 s chunk slot.
 
     ``y``: (max_samples,) signal; ``y4``: 4×-decimated signal; ``n_samples``:
@@ -126,6 +126,12 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
     clipped to the valid length (slots entirely past the end return zeros;
     slot 0 of a shorter-than-chunk file is the whole file, mirroring the
     reference's whole-file fallback, ``pitch.py:121-127``).
+
+    The per-bin noise floor (``cfg.chroma_floor_sub``) is subtracted at a
+    strength auto-selected per file from the in-kernel noise proxy (see
+    ``config.chroma_floor_auto``); ``with_proxy=True`` additionally returns
+    the file-level proxy scalar (measurement/observability — the sweep's
+    threshold calibration uses it).
     """
     bpo = cfg.chroma_bins_per_octave
     n_fft = cfg.chroma_n_fft
@@ -195,6 +201,31 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
     # traffic, and the chunk-scoped grid (round 4) lets the per-bin
     # noise-floor median see all of a chunk's frames before the fold ──
     from .pallas import chromacq
+    auto = (cfg.chroma_floor_sub and cfg.chroma_floor_auto
+            and cfg.chroma_floor_scale_noisy != cfg.chroma_floor_scale)
+
+    def _auto_select(sums_base, sums_noisy, proxy_c, flat_c):
+        """Whole-file floor-scale selection: the valid-chunk means of the
+        per-chunk noise proxy AND floor flatness against their thresholds
+        (noise is file-global; per-chunk switching would add vote
+        variance).  BOTH must fire: a drone/pad-heavy file has a high
+        floor-to-peak proxy (its sustained harmonics ARE its floor) but a
+        spiky floor spectrum, and the strong scale would eat exactly that
+        signal — only a pervasive (spectrally flat) elevated floor is
+        noise."""
+        means_b = sums_base / jnp.maximum(f_valid_all, 1)[:, None]
+        vmask = (f_valid_all > 0).astype(jnp.float32)
+        nv = jnp.maximum(jnp.sum(vmask), 1.0)
+        proxy_file = jnp.sum(proxy_c * vmask) / nv
+        if not auto:
+            return (means_b, proxy_file) if with_proxy else means_b
+        flat_file = jnp.sum(flat_c * vmask) / nv
+        means_n = sums_noisy / jnp.maximum(f_valid_all, 1)[:, None]
+        means = jnp.where((proxy_file > cfg.chroma_floor_noise_thresh)
+                          & (flat_file > cfg.chroma_floor_flat_thresh),
+                          means_n, means_b)
+        return (means, proxy_file) if with_proxy else means
+
     if use_time_kernels and chromacq.supported(n_fft, hop_hi, fchunk):
         rows_hi = fchunk + 8           # per-phase rows; frame j row a →
         rows_lo = fchunk + 32          # phase a%4, idx j + a//4 (hi)
@@ -213,7 +244,7 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
                 t_lo.append(jax.lax.slice_in_dim(
                     y4pad, s_lo, s_lo + span_lo3, axis=-1
                 ).reshape(rows_lo, 128))
-        chunk_sums = chromacq.chroma_chunk_sums(
+        sums_base, sums_noisy, proxy_c, flat_c = chromacq.chroma_chunk_sums(
             jnp.stack(t_hi).reshape(cfg.max_chunks, n_fchunks * 4,
                                     rows_hi, 128),
             jnp.stack(t_lo).reshape(cfg.max_chunks, n_fchunks,
@@ -222,8 +253,10 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
             n_lo=cfg.chroma_low_octaves * bpo,
             n_hi=(cfg.chroma_n_octaves - cfg.chroma_low_octaves) * bpo,
             bpo=bpo, floor_sub=cfg.chroma_floor_sub,
-            floor_scale=cfg.chroma_floor_scale)
-        return chunk_sums / jnp.maximum(f_valid_all, 1)[:, None]
+            floor_scale=cfg.chroma_floor_scale,
+            floor_scale_noisy=(cfg.chroma_floor_scale_noisy if auto
+                               else cfg.chroma_floor_scale))
+        return _auto_select(sums_base, sums_noisy, proxy_c, flat_c)
 
     # ── scan fallback (CPU tests / non-MXU): chunk-major so the per-bin
     # floor sees the whole chunk, same arithmetic as the kernel ──
@@ -254,19 +287,38 @@ def chunk_chroma_means(y: jnp.ndarray, y4: jnp.ndarray, n_samples: jnp.ndarray,
         cq = jnp.concatenate(cqs, axis=0)             # (F, n_bins) natural
         local_f = jnp.arange(n_fchunks * fchunk)
         valid_col = (local_f < f_valid)[:, None]
+
+        def fold_norm_sum(cqx):
+            ch = cqx.reshape(-1, cfg.chroma_n_octaves, bpo).sum(axis=1)
+            peak = jnp.max(ch, axis=-1, keepdims=True)
+            ch = jnp.where(peak > 1e-12, ch / jnp.maximum(peak, 1e-12), 0.0)
+            return jnp.sum(jnp.where(valid_col, ch, 0.0), axis=0)
+
         if cfg.chroma_floor_sub:
             floor = _masked_bin_floor(cq, valid_col, f_valid)
-            if cfg.chroma_floor_scale != 1.0:   # keep scale-1 HLO unchanged
-                floor = cfg.chroma_floor_scale * floor
-            cq = jnp.maximum(cq - floor, 0.0)
-        ch = cq.reshape(-1, cfg.chroma_n_octaves, bpo).sum(axis=1)
-        peak = jnp.max(ch, axis=-1, keepdims=True)
-        ch = jnp.where(peak > 1e-12, ch / jnp.maximum(peak, 1e-12), 0.0)
-        return None, jnp.sum(jnp.where(valid_col, ch, 0.0), axis=0)
+            top = jnp.max(jnp.where(valid_col, cq, 0.0), axis=0,
+                          keepdims=True)
+            proxy = jnp.sum(floor) / jnp.maximum(jnp.sum(top), 1e-20)
+            # floor spectral flatness (gm/am) — same arithmetic as the
+            # kernel (all of cq's bins are real here, no padding)
+            am = jnp.mean(floor)
+            eps_f = 1e-9 * am + 1e-30
+            flat = (jnp.exp(jnp.mean(jnp.log(floor + eps_f)))
+                    / jnp.maximum(am, 1e-30))
+            s_base = fold_norm_sum(jnp.maximum(
+                cq - cfg.chroma_floor_scale * floor, 0.0))
+            s_noisy = (fold_norm_sum(jnp.maximum(
+                cq - cfg.chroma_floor_scale_noisy * floor, 0.0))
+                if auto else s_base)
+        else:
+            s_base = s_noisy = fold_norm_sum(cq)
+            proxy = jnp.zeros(())
+            flat = jnp.zeros(())
+        return None, (s_base, s_noisy, proxy, flat)
 
-    _, chunk_sums = jax.lax.scan(
+    _, (sums_base, sums_noisy, proxy_c, flat_c) = jax.lax.scan(
         body, None, (tiles_hi, tiles_lo, f_valid_all))
-    return chunk_sums / jnp.maximum(f_valid_all, 1)[:, None]
+    return _auto_select(sums_base, sums_noisy, proxy_c, flat_c)
 
 
 def cyclic_xcorr_lag(src_chroma: jnp.ndarray, nc_chroma: jnp.ndarray) -> jnp.ndarray:

@@ -31,7 +31,7 @@ from .spectrum import frame_interleaved, interleave_params, power_to_db
 
 __all__ = ["onset_pad_width", "mel_power_windows", "mel_power_global",
            "mel_power_global_batch", "onset_envelope_from_mel",
-           "onset_frames_valid"]
+           "envelope_floor_sub", "onset_frames_valid"]
 
 
 @lru_cache(maxsize=8)
@@ -199,6 +199,44 @@ def onset_envelope_from_mel(mel_power: jnp.ndarray, n_valid_frames: jnp.ndarray,
     env = jnp.concatenate(
         [jnp.zeros(flux.shape[:-1] + (pad,), flux.dtype), flux], axis=-1)[..., :frames]
     return jnp.where(valid, env, 0.0)
+
+
+def envelope_floor_sub(env: jnp.ndarray, n_frames: jnp.ndarray,
+                       scale: float, thresh: float = 0.0) -> jnp.ndarray:
+    """Noise-gated masked-median baseline subtraction on onset envelopes.
+
+    Broadband noise adds a near-constant positive-flux baseline to the
+    envelope (per band the dB flux of stationary noise is ~σ/√π > 0, and
+    the mean over 128 mel bands makes it almost time-constant).  The
+    Ellis-DP objective rewards Σ env[beat] — a constant baseline pays every
+    inserted beat, biasing the tracker toward spurious subdivisions and
+    beat-position jitter exactly on noisy material (the 11 dB sweep row).
+    The masked median over the signal's valid frames IS that baseline, so
+    subtracting it (clipped at 0) restores the clean-signal reward
+    structure.
+
+    The subtraction is gated per row on the envelope's own median/mean
+    ratio against ``thresh`` (pass 0 to condition unconditionally):
+    measured on the sweep conditions the ratio is 0.45–0.51 for clean /
+    drift / swing material (onset mass dominates the mean), 0.92–0.93 at
+    17 dB SNR and 0.96–0.97 at 11 dB, with swing not moving it at all —
+    and unconditional subtraction, while fixing 11 dB outright, degrades
+    heavy-swing rows (it converts their cleanly-rescuable octave locks
+    into ~1 % unrescuable beat corruption), so only genuinely
+    noise-floored envelopes (ratio > thresh ≈ 0.95, i.e. ≲14 dB SNR) are
+    conditioned.  ``env``: (..., F); ``n_frames``: (...,) valid counts.
+    f32 in/out (the tempo ACF canary — bf16 here flips tempo octaves)."""
+    from .stats import masked_median_bisect
+    mask = jnp.arange(env.shape[-1]) < n_frames[..., None]
+    med = masked_median_bisect(env, mask)
+    med = jnp.where(jnp.isnan(med), 0.0, med)
+    mf = mask.astype(env.dtype)
+    mean = (jnp.sum(env * mf, axis=-1) /
+            jnp.maximum(jnp.sum(mf, axis=-1), 1.0))
+    noisy = med / jnp.maximum(mean, 1e-12) > thresh
+    sub = jnp.maximum(env - scale * med[..., None], 0.0)
+    return jnp.where(mask & noisy[..., None], sub,
+                     jnp.where(mask, env, 0.0))
 
 
 def onset_frames_valid(n_samples: jnp.ndarray, hop: int) -> jnp.ndarray:

@@ -68,9 +68,11 @@ def _fold_matrix(n_rows: int, n_bins: int, bpo: int, bpo_pad: int):
 
 
 def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool,
-                 floor_scale: float):
+                 floor_scale: float, floor_scale_noisy: float,
+                 n_hi: int, n_lo: int):
     n_blocks = _N_FFT // _LANES
     F = n_fchunks * fchunk
+    two_fold = floor_sub and floor_scale_noisy != floor_scale
 
     def kernel(fv_ref, hi_ref, lo_ref, khi_re_ref, khi_im_ref,
                klo_re_ref, klo_im_ref, fold_hi_ref, fold_lo_ref, out_ref,
@@ -107,12 +109,10 @@ def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool,
         nv_i = nv.astype(jnp.int32)
         valid_col = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0) < nv_i
 
-        def floored(mag_ref):
-            mag = mag_ref[:]
-            if not floor_sub:
-                return mag
+        def floor_and_top(mag, n_real):
             # masked lower-median per bin via bisection (chunk-scoped
-            # noise-floor estimate; see config.chroma_floor_sub)
+            # noise-floor estimate; see config.chroma_floor_sub), plus the
+            # real-bin floor/peak sums feeding the noise proxy
             valid = jnp.broadcast_to(valid_col, mag.shape)
             top = jnp.max(jnp.where(valid, mag, 0.0), axis=0, keepdims=True)
             lo_b = jnp.zeros_like(top)
@@ -125,36 +125,84 @@ def _make_kernel(fchunk: int, n_fchunks: int, bpo: int, floor_sub: bool,
                 ge = cnt >= half
                 hi_b = jnp.where(ge, mid, hi_b)
                 lo_b = jnp.where(ge, lo_b, mid)
-            return jnp.maximum(
-                mag - floor_scale * 0.5 * (lo_b + hi_b), 0.0)
+            flr = 0.5 * (lo_b + hi_b)
+            real = jax.lax.broadcasted_iota(jnp.int32, flr.shape, 1) < n_real
+            fsum = jnp.sum(jnp.where(real, flr, 0.0))
+            tsum = jnp.sum(jnp.where(real, top, 0.0))
+            return flr, fsum, tsum
 
-        ch = (jnp.dot(floored(mag_lo_ref).astype(bf), fold_lo_ref[:],
-                      preferred_element_type=jnp.float32) +
-              jnp.dot(floored(mag_hi_ref).astype(bf), fold_hi_ref[:],
-                      preferred_element_type=jnp.float32))
-        lane = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 1)
-        peak = jnp.max(jnp.where(lane < bpo, ch, -jnp.inf),
-                       axis=-1, keepdims=True)
-        ch = jnp.where((peak > 1e-12) & (lane < bpo),
-                       ch / jnp.maximum(peak, 1e-12), 0.0)
-        row = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 0)
-        sums = jnp.sum(jnp.where(row < nv_i, ch, 0.0), axis=0)  # (bpo_pad,)
-        out_ref[0] = jnp.broadcast_to(sums[None, :], out_ref.shape[1:])
+        mag_lo = mag_lo_ref[:]
+        mag_hi = mag_hi_ref[:]
+
+        def fold_norm_sum(lo_m, hi_m):
+            ch = (jnp.dot(lo_m.astype(bf), fold_lo_ref[:],
+                          preferred_element_type=jnp.float32) +
+                  jnp.dot(hi_m.astype(bf), fold_hi_ref[:],
+                          preferred_element_type=jnp.float32))
+            lane = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 1)
+            peak = jnp.max(jnp.where(lane < bpo, ch, -jnp.inf),
+                           axis=-1, keepdims=True)
+            ch = jnp.where((peak > 1e-12) & (lane < bpo),
+                           ch / jnp.maximum(peak, 1e-12), 0.0)
+            row = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 0)
+            return jnp.sum(jnp.where(row < nv_i, ch, 0.0), axis=0)
+
+        if floor_sub:
+            flr_lo, fs_lo, ts_lo = floor_and_top(mag_lo, n_lo)
+            flr_hi, fs_hi, ts_hi = floor_and_top(mag_hi, n_hi)
+            # noise proxy: energy-weighted median-floor-to-peak ratio over
+            # the chunk's real CQT bins (broadband noise lifts every bin's
+            # 20 s median toward its peak; sparse musical content doesn't)
+            proxy = (fs_lo + fs_hi) / jnp.maximum(ts_lo + ts_hi, 1e-20)
+            # floor spectral flatness (gm/am over real bins): broadband
+            # noise floors every bin (~0.93), sustained TONAL content
+            # floors only its harmonics (~0.05 drone, ~0.20 clean music) —
+            # the second gate that keeps drones off the strong floor
+            n_bins = float(n_lo + n_hi)
+            am = (fs_lo + fs_hi) / n_bins
+            eps_f = 1e-9 * am + 1e-30
+
+            def logsum(flr, n_real):
+                real = jax.lax.broadcasted_iota(jnp.int32, flr.shape, 1) \
+                    < n_real
+                return jnp.sum(jnp.where(real, jnp.log(flr + eps_f), 0.0))
+
+            flat = (jnp.exp((logsum(flr_lo, n_lo) + logsum(flr_hi, n_hi))
+                            / n_bins) / jnp.maximum(am, 1e-30))
+            sub = lambda m, f, s: jnp.maximum(m - s * f, 0.0)  # noqa: E731
+            sums = fold_norm_sum(sub(mag_lo, flr_lo, floor_scale),
+                                 sub(mag_hi, flr_hi, floor_scale))
+            sums_b = (fold_norm_sum(sub(mag_lo, flr_lo, floor_scale_noisy),
+                                    sub(mag_hi, flr_hi, floor_scale_noisy))
+                      if two_fold else sums)
+        else:
+            sums = sums_b = fold_norm_sum(mag_lo, mag_hi)
+            proxy = jnp.zeros(())
+            flat = jnp.zeros(())
+
+        # output rows: 0 = base-scale sums, 1 = noisy-scale sums,
+        # 2 = noise proxy, 3 = floor flatness
+        row8 = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape[1:], 0)
+        out_ref[0] = jnp.where(
+            row8 == 0, sums[None, :],
+            jnp.where(row8 == 1, sums_b[None, :],
+                      jnp.where(row8 == 2, proxy, flat)))
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("fchunk", "n_fchunks", "n_lo", "n_hi",
                                    "bpo", "floor_sub", "floor_scale",
-                                   "interpret"))
+                                   "floor_scale_noisy", "interpret"))
 def chroma_chunk_sums(chunks_hi4: jnp.ndarray, chunks_lo: jnp.ndarray,
                       chunk_fvalid: jnp.ndarray,
                       khi: tuple, klo: tuple, *,
                       fchunk: int, n_fchunks: int, n_lo: int, n_hi: int,
                       bpo: int, floor_sub: bool = True,
                       floor_scale: float = 1.0,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Per-chunk masked chroma sums.
+                      floor_scale_noisy: float = 1.0,
+                      interpret: bool = False):
+    """Per-chunk masked chroma sums (+ alternate floor scale + noise proxy).
 
     ``chunks_hi4``: (C, n_fchunks·4, rows_hi, 128) 4-phase row views of each
     tile's native-rate samples (tile fc, phase q at index fc·4+q; phase q
@@ -164,9 +212,15 @@ def chroma_chunk_sums(chunks_hi4: jnp.ndarray, chunks_lo: jnp.ndarray,
     (k_re, k_im) window-folded time-domain CQT kernels, shapes
     (4096, n_hi) / (4096, n_lo).
 
-    Returns (C, bpo) chroma sums over valid frames (per-bin floor
-    subtracted when ``floor_sub``, max-normalized per frame), equal to the
-    scan-path output of ``chunk_chroma_means``.
+    Returns ``(sums, sums_noisy, proxy, flatness)``: (C, bpo) chroma sums
+    over valid frames at ``floor_scale`` (per-bin floor subtracted when
+    ``floor_sub``, max-normalized per frame, equal to the scan-path output
+    of ``chunk_chroma_means``); the same at ``floor_scale_noisy`` (aliases
+    ``sums`` when the scales are equal — the second fold is compiled out);
+    the (C,) per-chunk noise proxy (real-bin Σfloor/Σpeak); and the (C,)
+    floor spectral flatness (gm/am over real bins — separates broadband
+    noise from sustained tonal content).  The last two are 0 without
+    ``floor_sub``; together they drive the auto scale selection.
     """
     C = chunks_hi4.shape[0]
     rows_hi = chunks_hi4.shape[2]
@@ -187,7 +241,8 @@ def chroma_chunk_sums(chunks_hi4: jnp.ndarray, chunks_lo: jnp.ndarray,
     fold_lo = jnp.asarray(_fold_matrix(nlo_pad, n_lo, bpo, bpo_pad), bf)
 
     out = pl.pallas_call(
-        _make_kernel(fchunk, n_fchunks, bpo, floor_sub, floor_scale),
+        _make_kernel(fchunk, n_fchunks, bpo, floor_sub, floor_scale,
+                     floor_scale_noisy, n_hi, n_lo),
         grid=(C,),
         in_specs=[pl.BlockSpec((1, 8, _LANES), lambda c: (c, 0, 0)),
                   pl.BlockSpec((1, n_fchunks * 4, rows_hi, _LANES),
@@ -212,4 +267,4 @@ def chroma_chunk_sums(chunks_hi4: jnp.ndarray, chunks_lo: jnp.ndarray,
           chunk_fvalid.astype(jnp.float32)[:, None, None], (C, 8, _LANES)),
       chunks_hi4, chunks_lo,
       khi_re, khi_im, klo_re, klo_im, fold_hi, fold_lo)
-    return out[:, 0, :bpo]
+    return out[:, 0, :bpo], out[:, 1, :bpo], out[:, 2, 0], out[:, 3, 0]

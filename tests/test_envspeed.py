@@ -118,3 +118,32 @@ def test_rescue_third_leg_confirms_duration_when_beats_halve():
     r = result_from_pair_analysis(pa, cfg, audio_provider=lambda: (nc, src))
     assert r.ibi_octave_corrected == 2.0
     assert r.ibi_regression_ratio == pytest.approx(1.25, rel=1e-6)
+
+
+def test_rescue_loose_tolerance_inexact_lock():
+    """Compound swing+noise halves the DP *inexactly* (~0.51–0.52×true —
+    measured at swing 8% + 11 dB SNR), outside the exact octave tolerance.
+    With a conclusive envelope verdict for the duration side the loose
+    rescue rescales anyway and warns about the residual; without audio the
+    raw estimate stands."""
+    from test_consensus import _mk_pa
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    src = _song(120.0, seed=13)
+    nc = _speed(src, 1.25)
+    # durations honest (1.25); windowed broken; IBIs at 0.516×true
+    pa = _mk_pa(1.25, 1.845, 1.25, ibi_scale=0.516)
+    cfg = AnalyzerConfig(max_duration_sec=120.0)
+    r0 = result_from_pair_analysis(pa, cfg)
+    assert r0.ibi_octave_corrected is None       # no audio → stands
+    r = result_from_pair_analysis(pa, cfg, audio_provider=lambda: (nc, src))
+    assert r.ibi_octave_corrected == 2.0
+    assert r.ibi_regression_ratio == pytest.approx(2 * 0.516 * 1.25, rel=1e-5)
+    assert any("inexact" in w for w in r.warnings)
+
+    # an inexact mismatch that is NOT octave-shaped (e.g. 0.7×) never
+    # loose-rescues — no candidate within the loose tolerance
+    pa2 = _mk_pa(1.25, 1.845, 1.25, ibi_scale=0.7)
+    r2 = result_from_pair_analysis(pa2, cfg, audio_provider=lambda: (nc, src))
+    assert r2.ibi_octave_corrected is None

@@ -394,18 +394,32 @@ def test_chroma_floor_sub_recovers_noisy_pitch(rng):
     assert lag_of(src_c, nc_c, False) == expect_lag
 
     # chroma_floor_scale plumbing: a stronger floor must change the chroma
-    # (measured curve in config.py; the default 1.0 keeps scale-1 HLO
-    # byte-identical to round-4's committed caches)
-    from nightcore_analyzer_tpu.config import AnalyzerConfig as _AC
-    c15 = cfg.replace(chroma_floor_scale=1.5)
+    # (measured curve in config.py); auto-selection pinned off so the
+    # scales are what this assertion says they are
+    c10 = cfg.replace(chroma_floor_auto=False)
+    c15 = cfg.replace(chroma_floor_scale=1.5, chroma_floor_auto=False)
     buf = np.zeros(cfg.max_samples, np.float32)
     buf[:len(src_n)] = src_n[:cfg.max_samples]
     ys = jnp.asarray(buf)
     y4 = resample.decimate_pow2(ys[None], 4)[0]
     n = jnp.asarray(min(len(src_n), cfg.max_samples), jnp.int32)
-    ch10 = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, cfg))
+    ch10 = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, c10))
     ch15 = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, c15))
     assert not np.allclose(ch10, ch15)
+
+    # auto floor-scale selection (round 5): with an always-fire threshold
+    # the selected chroma equals the static noisy scale, with a never-fire
+    # threshold it equals the static base scale — one program, both
+    # outcomes, driven by the in-kernel noise proxy
+    c_always = cfg.replace(chroma_floor_noise_thresh=-1.0)
+    c_never = cfg.replace(chroma_floor_noise_thresh=10.0)
+    ch_always = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, c_always))
+    ch_never = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, c_never))
+    np.testing.assert_allclose(ch_always, ch15, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ch_never, ch10, rtol=1e-5, atol=1e-6)
+    # the default threshold classifies this 11 dB input as noisy
+    ch_def = np.asarray(chroma_mod.chunk_chroma_means(ys, y4, n, cfg))
+    np.testing.assert_allclose(ch_def, ch15, rtol=1e-5, atol=1e-6)
 
 
 def test_window_acfs_window_longer_than_bucket():

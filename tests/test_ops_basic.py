@@ -134,3 +134,48 @@ def test_window_energy_gate():
     # reference oracle for RMS dB of slot 0
     want_db = 20 * np.log10(np.sqrt(np.mean(y[:220500].astype(np.float64) ** 2)))
     assert float(db[0]) == pytest.approx(want_db, abs=0.01)
+
+
+def test_envelope_floor_sub():
+    """Noise-gated baseline removal on the hop-64 onset envelope (round 5,
+    config.ibi_onset_floor_sub): a heavy constant baseline — what broadband
+    noise adds to the positive-flux envelope — trips the med/mean gate and
+    is removed exactly; sparse clean envelopes stay BELOW the gate and pass
+    through bit-identical (the measured swing-safety property); the padded
+    tail stays zero."""
+    from nightcore_analyzer_tpu.ops import onset
+
+    rng = np.random.default_rng(5)
+    F, n_valid = 4096, 3500
+    env = np.zeros((2, F), np.float32)
+    # sparse clean onsets: spikes every ~40 frames on a tiny texture floor
+    spikes = np.arange(20, n_valid, 40)
+    env[0, :n_valid] = 0.01 * rng.random(n_valid)
+    env[0, spikes] = 1.0 + 0.2 * rng.random(len(spikes))
+    # same onsets riding a heavy noise baseline (med/mean ≈ 0.97 — the
+    # measured 11 dB regime)
+    base = 1.0
+    env[1] = env[0] + base
+    env[1, n_valid:] = 0.0
+    n_frames = jnp.asarray([n_valid, n_valid], jnp.int32)
+
+    out = np.asarray(onset.envelope_floor_sub(
+        jnp.asarray(env), n_frames, 1.0, 0.95))
+    # clean row (med/mean ≈ 0.2): gate closed — bit-identical passthrough
+    np.testing.assert_array_equal(out[0], env[0])
+    # noisy row: gate open, baseline removed — ≈ the clean envelope
+    np.testing.assert_allclose(out[1, :n_valid], env[0, :n_valid], atol=0.03)
+    # padded tail stays zero, nothing goes negative
+    assert not out[:, n_valid:].any()
+    assert (out >= 0).all()
+
+    # thresh=0 conditions unconditionally (clean row loses only its tiny
+    # texture median)
+    out_all = np.asarray(onset.envelope_floor_sub(
+        jnp.asarray(env), n_frames, 1.0, 0.0))
+    assert np.all(out_all[0, spikes] > 0.98)
+
+    # all-invalid row: no NaNs
+    out2 = np.asarray(onset.envelope_floor_sub(
+        jnp.asarray(env), jnp.asarray([0, 0], jnp.int32), 1.0, 0.95))
+    assert np.isfinite(out2).all() and not out2.any()

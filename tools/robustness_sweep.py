@@ -52,6 +52,12 @@ CONDITIONS = [
     # floor is active and the material is both swung AND noisy (round 4)
     ("swing 8% + 17 dB", dict(tempo_drift=0.008, swing=0.08,
                               noise_level=0.1)),
+    # the onset-floor gate fires at 11 dB (med/mean > 0.95) even with
+    # swing present — this row pins that the conditioning helps (or at
+    # least never converts a rescuable octave lock into unrescuable
+    # corruption) on the compound worst case
+    ("swing 8% + 11 dB", dict(tempo_drift=0.008, swing=0.08,
+                              noise_level=0.2)),
 ]
 
 
@@ -115,31 +121,50 @@ def main() -> int:
         ref_n = f"{int(ref_ok.sum())}/{B}"
         # decision-level: through results_from_pa, i.e. including the
         # host-side IBI octave rescue (consensus.py) — what a user sees
+        # audio providers arm the rescue's envelope third leg (round 5) —
+        # the decision level under measurement is the full production one
+        providers = [
+            lambda i=i: (bufs.nc[i, :bufs.n_nc[i]],
+                         bufs.src[i, :bufs.n_src[i]])
+            for i in range(B)]
+        results = analyzer.results_from_pa(pa, B, audio_providers=providers)
         final = np.array([
             (r.ibi_regression_ratio or np.nan)
             if not isinstance(r, str) else np.nan
-            for r in analyzer.results_from_pa(pa, B)])
+            for r in results])
         fin = err(final)
         n_rescued = int(sum(
             0 if isinstance(r, str) else (r.ibi_octave_corrected is not None)
-            for r in analyzer.results_from_pa(pa, B)))
+            for r in results))
+        # decision-level pitch: result.pitch_ratio includes the host-side
+        # grid-midpoint arbitration (round 5) — what a user actually gets
+        fhits = n_arb = 0
+        for r, f in zip(results, factors):
+            if isinstance(r, str) or r.pitch_ratio <= 0:
+                continue
+            got_st = 12.0 * np.log2(r.pitch_ratio)
+            want_st = np.round(12.0 * np.log2(f) * 3.0) / 3.0
+            fhits += int(abs(got_st - want_st) < 1e-3)
+            n_arb += int(r.pitch_grid_arbitrated)
         rows.append((label,
                      np.median(ibi), np.max(ibi),
                      np.median(mean_), np.max(mean_),
                      np.median(reg), np.max(reg),
                      np.nanmedian(fin), np.nanmax(fin),
-                     f"{hits}/{B}", n_rescued, ref_med, ref_n))
+                     f"{hits}/{B}", f"{fhits}/{B}({n_arb})",
+                     n_rescued, ref_med, ref_n))
 
     print(f"\n### Robustness sweep ({B} pairs × {dur:.0f} s per condition, "
           "pure-nightcore pairs, errors in % of true factor; 'final' = "
           "decision-level regression estimator incl. octave rescue)\n")
     print("| condition | IBI med | IBI max | mean med | mean max "
           "| regr med | regr max | final med | final max | pitch grid "
-          "| rescued | refined med (cents) | refined ok |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+          "| final pitch(arb) | rescued | refined med (cents) "
+          "| refined ok |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r[0]} | " + " | ".join(f"{v:.5f}" for v in r[1:9])
-              + f" | {r[9]} | {r[10]} | {r[11]:.2f} | {r[12]} |")
+              + f" | {r[9]} | {r[10]} | {r[11]} | {r[12]:.2f} | {r[13]} |")
     return 0
 
 
