@@ -99,7 +99,8 @@ def make_corpus(n_pairs: int, duration: float, sr: int = 22050):
     return pairs, factors, conds
 
 
-def accuracy_report(pa, factors, conds, classifications) -> dict:
+def accuracy_report(pa, factors, conds, classifications,
+                    results_v2=None) -> dict:
     """Per-pair oracle errors + classification — the regression canary.
 
     The corpus factors are ground truth (synth.speed_shift), so every
@@ -181,6 +182,27 @@ def accuracy_report(pa, factors, conds, classifications) -> dict:
             round(float(np.max(ref_err_c[ref_ok])), 4) if n_ref else None,
         "classification": cls_ok,
     }
+    rb_ok = True
+    if results_v2 is not None:
+        # the EXPORTED reconstruction command (round 5: best-estimate
+        # chain) — what a scripted consumer runs verbatim; its --time
+        # must carry regression-class error and its --pitch refined-class
+        # error on pure pairs (VERDICT r4 task 1's done-bar)
+        rb_t, rb_p, srcs = [], [], set()
+        for r, fi, is_pure in zip(results_v2, f, pure):
+            if isinstance(r, str) or not is_pure:
+                continue
+            rb = r.rubberband
+            srcs.add((rb.get("time_source"), rb.get("pitch_source")))
+            rb_t.append(abs(rb["time_ratio"] / fi - 1.0) * 100)
+            rb_p.append(abs(rb["pitch_semitones"]
+                            + 12.0 * np.log2(fi)) * 100)
+        acc["rb_cmd_sources"] = sorted(str(s) for s in srcs)
+        acc["rb_cmd_time_median_err_pct"] = round(float(np.median(rb_t)), 5)
+        acc["rb_cmd_pitch_max_err_cents"] = round(float(np.max(rb_p)), 3)
+        rb_ok = (srcs == {("ibi_regression", "refined")}
+                 and acc["rb_cmd_time_median_err_pct"] <= 0.01
+                 and acc["rb_cmd_pitch_max_err_cents"] <= 3.0)
     acc["ok"] = bool(
         acc["ibi_max_err_pct"] <= 0.6
         and acc["ibi_mean_median_err_pct"] <= 0.01
@@ -189,7 +211,7 @@ def accuracy_report(pa, factors, conds, classifications) -> dict:
         and pitch_exact == len(f)
         and n_ref == int(pure.sum())
         and acc["pitch_refined_max_err_cents"] <= 3.0
-        and cls_all_ok)
+        and cls_all_ok and rb_ok)
     return acc
 
 
@@ -248,7 +270,8 @@ def measure_tpu(pairs, factors, conds, duration: float, reps: int):
         pa, B, cfg=analyzer.cfg.replace(classify_on_ibi=False))
     results_v2 = analyzer.results_from_pa(pa, B)
     acc = accuracy_report(pa, factors, conds,
-                          (cls_of(results), cls_of(results_v2)))
+                          (cls_of(results), cls_of(results_v2)),
+                          results_v2=results_v2)
     log(f"  accuracy: {acc}")
 
     times = []
