@@ -41,7 +41,18 @@ def result_summary_fields(result) -> List[Tuple[str, str]]:
                      f"SRC {result.src_duration:.1f}s"))
     rb = result.rubberband
     if "cli_command" in rb:
-        rows.append(("Rubber Band", rb["cli_command"]))
+        src_label = {"ibi_regression": "IBI regression",
+                     "ibi_median": "IBI median",
+                     "windowed": "windowed BPM"}.get(
+            rb.get("time_source", "windowed"), "?")
+        p_label = {"refined": "refined pitch", "chroma_grid": "chroma grid"
+                   }.get(rb.get("pitch_source", "chroma_grid"), "?")
+        rows.append((f"Rubber Band (best: {src_label} + {p_label})",
+                     rb["cli_command"]))
+    if rb.get("windowed_cli_command") and \
+            rb.get("time_source", "windowed") != "windowed":
+        rows.append(("Rubber Band (windowed parity)",
+                     rb["windowed_cli_command"]))
     return rows
 
 

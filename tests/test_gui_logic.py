@@ -47,7 +47,20 @@ def test_result_summary_fields():
     assert "mode:" in rows["Classification"]
     assert "1.250000" in rows["Tempo ratio"]
     assert "IBI ratio" in rows
-    assert "Rubber Band" in rows
+    rb_rows = [k for k in rows if k.startswith("Rubber Band")]
+    assert rb_rows and "windowed BPM" in rb_rows[0]   # provenance labeled
+
+    # best-estimate provenance + windowed parity row (round 5)
+    r2 = _result()
+    r2.rubberband = {
+        "cli_command": "rubberband --time 1.249970 --pitch -3.8660 …",
+        "time_source": "ibi_regression", "pitch_source": "refined",
+        "windowed_time_ratio": 1.25, "windowed_pitch_semitones": -3.9,
+        "windowed_cli_command": "rubberband --time 1.250000 …"}
+    rows2 = dict(result_summary_fields(r2))
+    best = [k for k in rows2 if k.startswith("Rubber Band (best")]
+    assert best and "IBI regression" in best[0] and "refined" in best[0]
+    assert "Rubber Band (windowed parity)" in rows2
 
 
 def test_qt_gating_consistent():
