@@ -147,3 +147,35 @@ def test_rescue_loose_tolerance_inexact_lock():
     pa2 = _mk_pa(1.25, 1.845, 1.25, ibi_scale=0.7)
     r2 = result_from_pair_analysis(pa2, cfg, audio_provider=lambda: (nc, src))
     assert r2.ibi_octave_corrected is None
+
+
+def test_discriminator_survives_broadband_noise():
+    """The loose rescue consults the envelope discriminator on exactly the
+    degraded material (swing/noise) — verify the verdict stays conclusive
+    for the true speed under ~11 dB broadband noise on both sides."""
+    rng = np.random.default_rng(21)
+    src = _song(120.0, seed=21)
+    nc = _speed(src, 1.25)
+    src_n = src + 0.2 * rng.standard_normal(len(src)).astype(np.float32)
+    nc_n = nc + 0.2 * rng.standard_normal(len(nc)).astype(np.float32)
+    assert envelope_prefers(nc_n, src_n, 1.25, 0.625, sr=SR) is True
+    assert envelope_prefers(nc_n, src_n, 2.5, 1.25, sr=SR) is False
+
+
+def test_round_check_gate_green_at_head():
+    """The round-end evidence gate (tools/round_check.py, wired into
+    bench.py's exit code): at a committed HEAD whose jitted path matches
+    the stamped MULTICHIP_FULL.json, the gate must pass — and the repo
+    must ship in that state (the gate failing here means a kernel change
+    was committed without refreshing the production multichip record)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    root = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "tools" / "round_check.py")],
+        capture_output=True, text=True, timeout=60)
+    if "uncommitted jitted-path changes" in proc.stderr:
+        pytest.skip("working tree has in-flight jitted-path edits — the "
+                    "gate applies at commit time (bench.py enforces it)")
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)
