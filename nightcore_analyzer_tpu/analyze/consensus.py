@@ -396,7 +396,13 @@ def result_from_pair_analysis(pa, cfg: AnalyzerConfig, *,
                 if audio_provider is None:
                     return None
                 from .envspeed import envelope_prefers
-                nc_y, src_y = audio_provider()
+                try:
+                    # a provider may re-decode from disk (the batch
+                    # driver's lazy path) — a decode failure here must
+                    # degrade to "inconclusive", not kill the pair/batch
+                    nc_y, src_y = audio_provider()
+                except Exception:
+                    return None
                 return envelope_prefers(
                     nc_y, src_y, dur_ratio, base, sr=cfg.sample_rate,
                     min_score=cfg.rescue_env_min_score,

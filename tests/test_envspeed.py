@@ -179,3 +179,23 @@ def test_round_check_gate_green_at_head():
         pytest.skip("working tree has in-flight jitted-path edits — the "
                     "gate applies at commit time (bench.py enforces it)")
     assert proc.returncode == 0, (proc.stdout + proc.stderr)
+
+
+def test_rescue_survives_failing_audio_provider():
+    """A provider that raises (the batch driver re-decodes from disk — the
+    file can vanish between passes) must degrade to the no-audio behavior,
+    never kill the pair."""
+    from test_consensus import _mk_pa
+    from nightcore_analyzer_tpu.config import AnalyzerConfig
+    from nightcore_analyzer_tpu.analyze.consensus import result_from_pair_analysis
+
+    def boom():
+        raise OSError("decode failed: file gone")
+
+    cfg = AnalyzerConfig(max_duration_sec=120.0)
+    pa = _mk_pa(1.25, 0.8742, 1.25, ibi_scale=0.5)   # plain swing lock
+    r = result_from_pair_analysis(pa, cfg, audio_provider=boom)
+    assert r.ibi_octave_corrected == 2.0             # no-audio path: rescue
+    pa2 = _mk_pa(2.46, 1.23, 1.23, ibi_scale=0.5)    # edits veto case
+    r2 = result_from_pair_analysis(pa2, cfg, audio_provider=boom)
+    assert r2.ibi_octave_corrected is None           # no-audio path: veto
